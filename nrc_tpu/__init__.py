@@ -1,0 +1,25 @@
+"""nrc_tpu — a TPU-native neural radiance caching engine (JAX/XLA/Pallas).
+
+A from-scratch re-design of the capabilities of the reference OptiX 8 +
+tiny-cuda-nn + MDL application ``Depersonalizc/neural-radiance-caching``
+(SIGGRAPH 2021, "Real-time Neural Radiance Caching for Path Tracing"),
+built TPU-first:
+
+- the OptiX path-tracing megakernel becomes a *wavefront* integrator — a
+  ``lax.scan`` over bounce depth on SoA ray batches, everything under one
+  ``jit`` (reference: ``nrc/shaders/raygeneration.cu:139-289``);
+- tiny-cuda-nn's fully-fused MLP becomes a Pallas fused MLP kernel with a
+  pure-JAX reference path (reference: ``nrc/src/NRCNetwork.cu``);
+- the atomicAdd training-record allocator becomes a static per-tile strided
+  record layout (no atomics, no mid-frame host sync — reference:
+  ``nrc/shaders/hit.cu:975-1028``, ``nrc/src/Device.cpp:2487-2491``);
+- multi-GPU P2P islands become a ``jax.sharding.Mesh`` with XLA collectives
+  (reference: ``nrc/src/Raytracer.cpp:318-458``).
+
+Layout: ``models/`` (NRC network), ``ops/`` (kernels: intersect, encodings,
+MLP, propagation), ``render/`` (integrator + frame step), ``scene/`` (parser,
+geometry, lights, materials, camera), ``parallel/`` (mesh/shard_map scaling),
+``utils/`` (math, RNG, tonemap, image IO), ``app/`` (CLI).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,217 @@
+"""Configuration: render modes, encodings, NRC constants, system/tonemapper configs.
+
+TPU-native equivalent of the reference's NRC data model and config plumbing:
+- enums + constants: ``nrc/shaders/neural_radiance_caching.h:14-54``
+- system-description options: ``nrc/src/Application.cpp:1093-1293``
+- per-frame system data: ``nrc/shaders/system_data.h`` (SystemDataPerFrame)
+- compile-time switches: ``nrc/shaders/config.h``
+
+Everything here is static (Python-level) configuration: it feeds shapes and
+branch structure of the jitted frame program, so changing most of these
+triggers an XLA recompile (by design — no dynamic shapes inside jit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Tuple
+
+
+class RenderMode(enum.IntEnum):
+    """Render modes (reference ``neural_radiance_caching.h:14-22``)."""
+
+    FULL = 0                # path trace + cache radiance at path end
+    NO_CACHE = 1            # pure path tracing (unbiased oracle; no truncation)
+    CACHE_ONLY = 2          # only the cache radiance, modulated by throughput
+    CACHE_FIRST_VERTEX = 3  # visualize cache at first non-specular vertex
+    DEBUG_CACHE_NO_THROUGHPUT_MODULATION = 4
+    DEBUG_THROUGHPUT_ONLY = 5
+
+
+class InputEncoding(enum.IntEnum):
+    """Network input encodings (reference ``neural_radiance_caching.h:24-27``)."""
+
+    FREQUENCY = 0
+    HASH = 1
+
+
+# --- NRC constants (reference neural_radiance_caching.h:29-45) ---------------
+NUM_BATCHES = 4
+NUM_TRAINING_RECORDS_PER_FRAME = 65536
+BATCH_SIZE = NUM_TRAINING_RECORDS_PER_FRAME // NUM_BATCHES  # 16384
+TRAIN_UNBIASED_RATIO = 1.0 / 16.0
+
+# Compact radiance query: pos(3) + dir(2) + normal(2) + roughness(2)
+# + diffuse(3) + specular(3)   (reference neural_radiance_caching.h:33-35)
+NN_INPUT_DIMS = 13
+NN_OUTPUT_DIMS = 3
+
+
+def train_lr(encoding: InputEncoding) -> float:
+    """Per-encoding learning rate (reference ``neural_radiance_caching.h:47-54``)."""
+    if encoding == InputEncoding.FREQUENCY:
+        return 1e-3
+    if encoding == InputEncoding.HASH:
+        return 1e-2
+    return 1e-4
+
+
+@dataclasses.dataclass
+class TonemapperConfig:
+    """GLSL/CPU tonemapper settings (reference ``Application.cpp:2596-2645``)."""
+
+    gamma: float = 2.2
+    color_balance: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    white_point: float = 1.0
+    burn_highlights: float = 0.8
+    crush_blacks: float = 0.2
+    saturation: float = 1.2
+    brightness: float = 0.8
+
+
+@dataclasses.dataclass
+class NRCHyperParams:
+    """Tunable NRC hyper-parameters (reference ``Device.h:323-341`` DeviceState).
+
+    ``area_spread_factor`` is the paper's {c} in Eq. 4; the reference inits it
+    at 0.01 (``Application.cpp:73``) and passes sqrt(c) to the device.
+    """
+
+    learning_rate: float = train_lr(InputEncoding.FREQUENCY)
+    train_unbiased_ratio: float = TRAIN_UNBIASED_RATIO
+    area_spread_factor: float = 0.01
+
+    @property
+    def area_spread_factor_sqrt(self) -> float:
+        return math.sqrt(self.area_spread_factor)
+
+
+@dataclasses.dataclass
+class NetworkConfig:
+    """Model config literals (reference ``NRCNetworkConfigs.h:11-136``)."""
+
+    encoding: InputEncoding = InputEncoding.FREQUENCY
+    n_neurons: int = 64
+    n_hidden_layers: int = 5
+    # loss RelativeL2Luminance, optimizer EMA(0.99) over Adam
+    ema_decay: float = 0.99
+    adam_l2_reg: float = 1e-6
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    # tcnn defaults eps 1e-8; hash config overrides to 1e-15
+    adam_eps: float = 1e-8
+    # frequency encoding: TriangleWave(3 dims, 12 freqs) + OneBlob(6, 4 bins)
+    # + Identity(6)
+    freq_n_frequencies: int = 12
+    oneblob_n_bins: int = 4
+    # hash encoding: 16 levels, 2 features/level, 2^15 table, base res 16, x2
+    hash_n_levels: int = 16
+    hash_n_features_per_level: int = 2
+    hash_log2_size: int = 15
+    hash_base_resolution: int = 16
+    hash_per_level_scale: float = 2.0
+
+    @property
+    def learning_rate(self) -> float:
+        return train_lr(self.encoding)
+
+    def __post_init__(self) -> None:
+        if self.encoding == InputEncoding.HASH:
+            self.adam_eps = 1e-15
+
+
+@dataclasses.dataclass
+class SystemConfig:
+    """System-description options (reference ``Application.cpp:1093-1293``).
+
+    Loaded from the same key-value text format as the reference's
+    ``data/system_*.txt`` files, so those files work directly.
+    """
+
+    devices_mask: int = 1
+    arena_size_mib: int = 64
+    interop: int = 0
+    present: int = 0
+    peer_to_peer: int = 0
+    resolution: Tuple[int, int] = (1280, 720)
+    tile_size: Tuple[int, int] = (8, 8)
+    samples_sqrt: int = 1
+    path_lengths: Tuple[int, int] = (2, 6)   # (min before RR, max)
+    walk_length: int = 2
+    epsilon_factor: float = 500.0            # scene epsilon = factor * 1e-7
+    clock_factor: float = 1000.0
+    lens_shader: int = 0                     # 0 pinhole, 1 fisheye, 2 sphere
+    center: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    camera: Tuple[float, float, float, float] = (0.75, 0.5, 60.0, 1.0)
+    prefix_screenshot: str = "./nrc_tpu"
+    search_paths: Tuple[str, ...] = ()
+    tonemapper: TonemapperConfig = dataclasses.field(default_factory=TonemapperConfig)
+
+    @property
+    def scene_epsilon(self) -> float:
+        return self.epsilon_factor * 1.0e-7
+
+
+@dataclasses.dataclass
+class FrameConfig:
+    """Static shape/branch configuration of the jitted frame program.
+
+    The reference adapts tile size continuously (``Device::adjustTileSize``,
+    ``Device.cpp:818-828``); we quantize tile sizes to powers of two so the
+    jit cache holds a handful of programs instead of recompiling every frame.
+    ``max_train_suffix_records`` replaces the global 65536-capacity atomic
+    record allocator with a per-tile strided layout: each training path owns
+    a fixed number of record slots (its records are consecutive, so radiance
+    propagation is a dense reverse scan instead of a linked-list walk —
+    reference ``nrc_helpers.cu:131-224``).
+    """
+
+    width: int = 320
+    height: int = 320
+    tile_size: Tuple[int, int] = (16, 16)
+    max_depth: int = 6
+    min_depth_rr: int = 2
+    max_train_records_per_ray: int = 8
+    render_mode: RenderMode = RenderMode.FULL
+    train: bool = True
+    lens_shader: int = 0
+    scene_epsilon: float = 1e-4
+    walk_length: int = 2
+    direct_lighting: bool = True
+    # Per-scene position normalization applied to radiance-query positions.
+    # The reference hardcodes 0.005 for Cornell (``hit.cu:595-597``).
+    position_scale: float = 0.005
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def num_tiles_xy(self) -> Tuple[int, int]:
+        return (self.width // self.tile_size[0], self.height // self.tile_size[1])
+
+    @property
+    def num_tiles(self) -> int:
+        nx, ny = self.num_tiles_xy
+        return nx * ny
+
+
+def adjust_tile_size(tile_size: Tuple[int, int], num_train_records: int) -> Tuple[int, int]:
+    """Adaptive tile sizing, quantized to powers of two.
+
+    Mirrors the reference's per-frame rescale by sqrt(1.25 * n / 65536)
+    (``Device.cpp:818-828``, min 2x2), then snaps to the nearest power of two
+    so the jitted frame program shape-specializes to at most a few variants.
+    """
+    ratio = 1.25 * float(num_train_records) / float(NUM_TRAINING_RECORDS_PER_FRAME)
+    r = math.sqrt(max(ratio, 1e-12))
+
+    def snap(v: int) -> int:
+        target = max(int(v * r + 0.5), 2)
+        # round to nearest power of two, clamp to [2, 64]
+        p = 2 ** round(math.log2(max(target, 2)))
+        return int(min(max(p, 2), 64))
+
+    return (snap(tile_size[0]), snap(tile_size[1]))

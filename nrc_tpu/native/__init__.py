@@ -1,0 +1,67 @@
+"""ctypes loader for the native host runtime (``nrc_native.c``).
+
+Compiles the shared library on first use (cached next to the source) and
+exposes typed wrappers. Pure-Python fallbacks exist at every call site, so
+the package works without a C toolchain — just slower.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "nrc_native.c")
+_LIB = os.path.join(_HERE, "libnrc_native.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _compile() -> bool:
+    cmd = [
+        os.environ.get("CC", "cc"),
+        "-O3", "-march=native", "-fPIC", "-shared", "-o", _LIB, _SRC, "-lm",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (compiling if needed) the native library; None if unavailable."""
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.isfile(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _compile():
+                _failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            _failed = True
+            return None
+
+        lib.hdr_decode_rle.restype = ctypes.c_int64
+        lib.hdr_decode_rle.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.bvh_build_binned_sah.restype = ctypes.c_int32
+        lib.bvh_build_binned_sah.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib

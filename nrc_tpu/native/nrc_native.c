@@ -1,0 +1,268 @@
+/* nrc_native — host-side native runtime helpers for nrc_tpu.
+ *
+ * The reference implements its host runtime (image decode, BVH build,
+ * memory arenas) in C++ (nrc/src/Picture.cpp, Device.cpp); the TPU build
+ * keeps the same split: JAX/XLA/Pallas on-device, C for host hot paths,
+ * exposed through ctypes (no pybind11 in this toolchain).
+ *
+ * Contents:
+ *   - hdr_decode_rle: Radiance .hdr adaptive-RLE scanline decoder
+ *     (replaces DevIL HDR import used for env maps, Picture.cpp)
+ *   - bvh_build_binned_sah: binned-SAH BVH builder over triangle AABBs
+ *     (replaces OptiX GAS builds, Device.cpp:1845-1963) producing a
+ *     flattened depth-first node array for the TPU traversal kernels.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <float.h>
+#include <math.h>
+
+#ifdef _WIN32
+#define EXPORT __declspec(dllexport)
+#else
+#define EXPORT __attribute__((visibility("default")))
+#endif
+
+/* ------------------------------------------------------------------ */
+/* Radiance HDR RLE decode                                             */
+/* ------------------------------------------------------------------ */
+
+/* Decode `height` scanlines of width `width` from `data[len]` starting at
+ * offset `pos` into rgbe_out[height*width*4]. Returns bytes consumed, or -1
+ * on error. Handles both adaptive-RLE and flat scanlines. */
+EXPORT int64_t hdr_decode_rle(const uint8_t *data, int64_t len, int64_t pos,
+                              int32_t width, int32_t height, uint8_t *rgbe_out)
+{
+    const int64_t start = pos;
+    for (int32_t y = 0; y < height; y++) {
+        uint8_t *row = rgbe_out + (int64_t)y * width * 4;
+        if (pos + 4 > len) return -1;
+        if (data[pos] == 2 && data[pos + 1] == 2 &&
+            (((int32_t)data[pos + 2] << 8) | data[pos + 3]) == width) {
+            /* adaptive RLE: 4 component planes */
+            pos += 4;
+            for (int c = 0; c < 4; c++) {
+                int32_t x = 0;
+                while (x < width) {
+                    if (pos >= len) return -1;
+                    int32_t cnt = data[pos++];
+                    if (cnt > 128) { /* run */
+                        cnt -= 128;
+                        if (pos >= len || x + cnt > width) return -1;
+                        uint8_t v = data[pos++];
+                        for (int32_t i = 0; i < cnt; i++)
+                            row[(x + i) * 4 + c] = v;
+                        x += cnt;
+                    } else { /* literal */
+                        if (pos + cnt > len || x + cnt > width) return -1;
+                        for (int32_t i = 0; i < cnt; i++)
+                            row[(x + i) * 4 + c] = data[pos + i];
+                        pos += cnt;
+                        x += cnt;
+                    }
+                }
+            }
+        } else {
+            /* flat RGBE scanline */
+            if (pos + 4 * (int64_t)width > len) return -1;
+            memcpy(row, data + pos, 4 * (size_t)width);
+            pos += 4 * (int64_t)width;
+        }
+    }
+    return pos - start;
+}
+
+/* ------------------------------------------------------------------ */
+/* Binned SAH BVH builder                                              */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    float lo[3], hi[3];
+} AABB;
+
+static void aabb_init(AABB *b)
+{
+    for (int i = 0; i < 3; i++) { b->lo[i] = FLT_MAX; b->hi[i] = -FLT_MAX; }
+}
+
+static void aabb_grow(AABB *b, const AABB *o)
+{
+    for (int i = 0; i < 3; i++) {
+        if (o->lo[i] < b->lo[i]) b->lo[i] = o->lo[i];
+        if (o->hi[i] > b->hi[i]) b->hi[i] = o->hi[i];
+    }
+}
+
+static float aabb_area(const AABB *b)
+{
+    float d[3];
+    for (int i = 0; i < 3; i++) {
+        d[i] = b->hi[i] - b->lo[i];
+        if (d[i] < 0.f) return 0.f;
+    }
+    return 2.f * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0]);
+}
+
+/* Output node layout (SoA-friendly, depth-first):
+ *   nodes_lo[n*3], nodes_hi[n*3] : AABB
+ *   nodes_left[n]  : index of left child, or first-primitive index for leaf
+ *   nodes_count[n] : 0 for inner node, #primitives for leaf
+ *   right child is left+? -> we store explicit: nodes_right[n] (inner),
+ *   skip links are derived on the Python side.
+ */
+typedef struct {
+    AABB *prim_bounds;     /* [N] */
+    float (*centroid)[3];  /* [N] */
+    int32_t *prim_order;   /* [N] permutation, leaves reference ranges */
+    float *nodes_lo;       /* [maxNodes*3] */
+    float *nodes_hi;
+    int32_t *nodes_left;
+    int32_t *nodes_right;
+    int32_t *nodes_start;
+    int32_t *nodes_count;
+    int32_t num_nodes;
+    int32_t max_leaf;
+} Builder;
+
+#define NUM_BINS 16
+
+static int32_t build_node(Builder *B, int32_t start, int32_t end)
+{
+    int32_t node = B->num_nodes++;
+    AABB bounds, cbounds;
+    aabb_init(&bounds);
+    aabb_init(&cbounds);
+    for (int32_t i = start; i < end; i++) {
+        int32_t p = B->prim_order[i];
+        aabb_grow(&bounds, &B->prim_bounds[p]);
+        AABB c = { { B->centroid[p][0], B->centroid[p][1], B->centroid[p][2] },
+                   { B->centroid[p][0], B->centroid[p][1], B->centroid[p][2] } };
+        aabb_grow(&cbounds, &c);
+    }
+    memcpy(B->nodes_lo + node * 3, bounds.lo, 12);
+    memcpy(B->nodes_hi + node * 3, bounds.hi, 12);
+
+    int32_t n = end - start;
+    if (n <= B->max_leaf) {
+    make_leaf:
+        B->nodes_left[node] = -1;
+        B->nodes_right[node] = -1;
+        B->nodes_start[node] = start;
+        B->nodes_count[node] = n;
+        return node;
+    }
+
+    /* choose split axis = widest centroid extent */
+    int axis = 0;
+    float ext[3];
+    for (int i = 0; i < 3; i++) ext[i] = cbounds.hi[i] - cbounds.lo[i];
+    if (ext[1] > ext[axis]) axis = 1;
+    if (ext[2] > ext[axis]) axis = 2;
+    if (ext[axis] <= 1e-12f) goto make_leaf;
+
+    /* binned SAH */
+    AABB bin_bounds[NUM_BINS];
+    int32_t bin_count[NUM_BINS];
+    for (int b = 0; b < NUM_BINS; b++) { aabb_init(&bin_bounds[b]); bin_count[b] = 0; }
+    float k = NUM_BINS * (1.f - 1e-6f) / ext[axis];
+    for (int32_t i = start; i < end; i++) {
+        int32_t p = B->prim_order[i];
+        int b = (int)(k * (B->centroid[p][axis] - cbounds.lo[axis]));
+        if (b < 0) b = 0;
+        if (b >= NUM_BINS) b = NUM_BINS - 1;
+        bin_count[b]++;
+        aabb_grow(&bin_bounds[b], &B->prim_bounds[p]);
+    }
+
+    /* sweep for best split */
+    float right_area[NUM_BINS];
+    AABB acc;
+    aabb_init(&acc);
+    int32_t right_cnt[NUM_BINS];
+    int32_t cnt = 0;
+    for (int b = NUM_BINS - 1; b > 0; b--) {
+        aabb_grow(&acc, &bin_bounds[b]);
+        cnt += bin_count[b];
+        right_area[b] = aabb_area(&acc);
+        right_cnt[b] = cnt;
+    }
+    aabb_init(&acc);
+    cnt = 0;
+    float best_cost = FLT_MAX;
+    int best_split = -1;
+    for (int b = 0; b < NUM_BINS - 1; b++) {
+        aabb_grow(&acc, &bin_bounds[b]);
+        cnt += bin_count[b];
+        if (cnt == 0 || cnt == n) continue;
+        float cost = aabb_area(&acc) * cnt + right_area[b + 1] * right_cnt[b + 1];
+        if (cost < best_cost) { best_cost = cost; best_split = b; }
+    }
+    if (best_split < 0) goto make_leaf;
+
+    /* partition prim_order[start:end] by bin <= best_split */
+    int32_t mid = start;
+    for (int32_t i = start; i < end; i++) {
+        int32_t p = B->prim_order[i];
+        int b = (int)(k * (B->centroid[p][axis] - cbounds.lo[axis]));
+        if (b < 0) b = 0;
+        if (b >= NUM_BINS) b = NUM_BINS - 1;
+        if (b <= best_split) {
+            int32_t t = B->prim_order[i];
+            B->prim_order[i] = B->prim_order[mid];
+            B->prim_order[mid] = t;
+            mid++;
+        }
+    }
+    if (mid == start || mid == end) goto make_leaf;
+
+    B->nodes_start[node] = -1;
+    B->nodes_count[node] = 0;
+    B->nodes_left[node] = build_node(B, start, mid);
+    B->nodes_right[node] = build_node(B, mid, end);
+    return node;
+}
+
+/* Build a BVH over `num` triangles given flat vertex arrays p0,p1,p2 [num*3].
+ * Outputs (caller-allocated, capacity 2*num nodes):
+ *   prim_order[num], nodes_lo/hi[2*num*3], nodes_left/right/start/count[2*num]
+ * Returns number of nodes. */
+EXPORT int32_t bvh_build_binned_sah(
+    const float *p0, const float *p1, const float *p2, int32_t num,
+    int32_t max_leaf,
+    int32_t *prim_order, float *nodes_lo, float *nodes_hi,
+    int32_t *nodes_left, int32_t *nodes_right,
+    int32_t *nodes_start, int32_t *nodes_count)
+{
+    if (num <= 0) return 0;
+    Builder B;
+    B.prim_bounds = (AABB *)malloc(sizeof(AABB) * num);
+    B.centroid = (float (*)[3])malloc(sizeof(float) * 3 * num);
+    B.prim_order = prim_order;
+    B.nodes_lo = nodes_lo;
+    B.nodes_hi = nodes_hi;
+    B.nodes_left = nodes_left;
+    B.nodes_right = nodes_right;
+    B.nodes_start = nodes_start;
+    B.nodes_count = nodes_count;
+    B.num_nodes = 0;
+    B.max_leaf = max_leaf > 0 ? max_leaf : 4;
+
+    for (int32_t i = 0; i < num; i++) {
+        prim_order[i] = i;
+        AABB *b = &B.prim_bounds[i];
+        for (int c = 0; c < 3; c++) {
+            float a = p0[i * 3 + c], d = p1[i * 3 + c], e = p2[i * 3 + c];
+            float lo = a < d ? a : d; if (e < lo) lo = e;
+            float hi = a > d ? a : d; if (e > hi) hi = e;
+            b->lo[c] = lo;
+            b->hi[c] = hi;
+            B.centroid[i][c] = (lo + hi) * 0.5f;
+        }
+    }
+    build_node(&B, 0, num);
+    free(B.prim_bounds);
+    free(B.centroid);
+    return B.num_nodes;
+}

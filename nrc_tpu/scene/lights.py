@@ -1,0 +1,139 @@
+"""Light definitions and host-side CDF builders.
+
+SoA replacement for the reference's ``LightDefinition`` array
+(``nrc/shaders/light_definition.h:37-90``) and its host initialization
+(``Device::initLights``, ``nrc/src/Device.cpp:1541-1646``):
+
+- env constant / env sphere (2D CDF importance sampling built like
+  ``Texture::calculateSphericalCDF``, ``nrc/src/Texture.cpp:1456-1602``)
+- mesh lights with per-triangle area CDFs (``Application::createMeshLights``,
+  ``nrc/src/Application.cpp:2079-2238``)
+- singular point / spot / IES lights
+
+Device sampling of these lives in ``ops/light_sampling.py``; this module is
+pure host/NumPy scene prep.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+# TypeLight enum (reference ``function_indices.h:50-59``)
+TYPE_LIGHT_ENV_CONST = 0
+TYPE_LIGHT_ENV_SPHERE = 1
+TYPE_LIGHT_MESH = 2
+TYPE_LIGHT_POINT = 3
+TYPE_LIGHT_FIRST_SINGULAR = 3
+TYPE_LIGHT_SPOT = 4
+TYPE_LIGHT_IES = 5
+
+
+@dataclasses.dataclass
+class LightTable:
+    """SoA light table; mesh-light triangle data lives in shared flat arrays."""
+
+    type: np.ndarray          # [L] int32
+    matrix: np.ndarray        # [L, 4, 4] f32 object-to-world
+    matrix_inv: np.ndarray    # [L, 4, 4] f32
+    emission: np.ndarray      # [L, 3] f32 (multiplier pre-applied)
+    area: np.ndarray          # [L] f32 world-space area (mesh lights)
+    inv_integral: np.ndarray  # [L] f32 env map integral^-1
+    spot_angle_half: np.ndarray  # [L] f32 radians
+    spot_exponent: np.ndarray    # [L] f32
+    material_id: np.ndarray   # [L] int32 (mesh lights)
+    # mesh-light triangle pool: all emissive triangles of all mesh lights,
+    # concatenated; per light a [start, count) range plus an area CDF.
+    tri_start: np.ndarray     # [L] int32
+    tri_count: np.ndarray     # [L] int32
+    mesh_p0: np.ndarray       # [T, 3] f32 world-space triangle vertices
+    mesh_p1: np.ndarray       # [T, 3]
+    mesh_p2: np.ndarray       # [T, 3]
+    mesh_n0: np.ndarray       # [T, 3] f32 world-space shading normals
+    mesh_n1: np.ndarray       # [T, 3]
+    mesh_n2: np.ndarray       # [T, 3]
+    mesh_cdf: np.ndarray      # [T] f32 per-light area CDF (upper edges, norm to 1)
+    # environment texture + CDFs (at most one env light, always light 0 —
+    # reference Device.cpp:1544 asserts env light is first)
+    env_texture: Optional[np.ndarray] = None  # [H, W, 3] f32
+    env_cdf_u: Optional[np.ndarray] = None    # [H, W+1] f32
+    env_cdf_v: Optional[np.ndarray] = None    # [H+1] f32
+    # IES profile luminance texture (per IES light, single shared for now)
+    ies_texture: Optional[np.ndarray] = None  # [H, W] f32
+
+    @property
+    def num_lights(self) -> int:
+        return int(self.type.shape[0])
+
+
+def gaussian_filter_3x3(img: np.ndarray) -> np.ndarray:
+    """3x3 Gaussian blur with wrap in x, clamp in y (``Texture.cpp:1456-1508``)."""
+    k = np.array([1.0, 2.0, 1.0]) / 4.0
+    # x: wrap (spherical seam)
+    out = (
+        k[0] * np.roll(img, 1, axis=1) + k[1] * img + k[2] * np.roll(img, -1, axis=1)
+    )
+    # y: clamp
+    up = np.vstack([out[:1], out[:-1]])
+    dn = np.vstack([out[1:], out[-1:]])
+    return k[0] * up + k[1] * out + k[2] * dn
+
+
+def build_env_cdf(texture: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
+    """Build (cdf_u [H, W+1], cdf_v [H+1], integral) for a lat-long env map.
+
+    Mirrors ``Texture::calculateSphericalCDF`` (``Texture.cpp:1510-1602``):
+    Gaussian-filtered luminance weighted by sin(theta) row weight.
+    """
+    h, w, _ = texture.shape
+    lum = (
+        0.299 * texture[..., 0] + 0.587 * texture[..., 1] + 0.114 * texture[..., 2]
+    )
+    lum = gaussian_filter_3x3(lum)
+    # sin(theta) weight per row; v=0 row is the south pole
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    weighted = lum * np.sin(theta)[:, None]
+
+    cdf_u = np.zeros((h, w + 1), dtype=np.float64)
+    cdf_u[:, 1:] = np.cumsum(weighted, axis=1)
+    row_sums = cdf_u[:, -1].copy()
+    safe_rows = np.maximum(row_sums, 1e-20)
+    cdf_u /= safe_rows[:, None]
+
+    cdf_v = np.zeros(h + 1, dtype=np.float64)
+    cdf_v[1:] = np.cumsum(row_sums)
+    integral = cdf_v[-1] / (w * h) * (2.0 * np.pi * np.pi)
+    cdf_v /= max(cdf_v[-1], 1e-20)
+    return cdf_u.astype(np.float32), cdf_v.astype(np.float32), float(max(integral, 1e-20))
+
+
+def build_mesh_light(
+    p0: np.ndarray, p1: np.ndarray, p2: np.ndarray
+) -> tuple[np.ndarray, float]:
+    """Per-triangle area CDF + total area for already-world-space triangles."""
+    areas = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1)
+    total = float(np.sum(areas))
+    cdf = np.cumsum(areas) / max(total, 1e-20)
+    return cdf.astype(np.float32), total
+
+
+def empty_light_table() -> LightTable:
+    z3 = np.zeros((0, 3), np.float32)
+    return LightTable(
+        type=np.zeros((0,), np.int32),
+        matrix=np.zeros((0, 4, 4), np.float32),
+        matrix_inv=np.zeros((0, 4, 4), np.float32),
+        emission=z3,
+        area=np.zeros((0,), np.float32),
+        inv_integral=np.zeros((0,), np.float32),
+        spot_angle_half=np.zeros((0,), np.float32),
+        spot_exponent=np.zeros((0,), np.float32),
+        material_id=np.zeros((0,), np.int32),
+        tri_start=np.zeros((0,), np.int32),
+        tri_count=np.zeros((0,), np.int32),
+        mesh_p0=z3, mesh_p1=z3, mesh_p2=z3,
+        mesh_n0=z3, mesh_n1=z3, mesh_n2=z3,
+        mesh_cdf=np.zeros((0,), np.float32),
+    )
