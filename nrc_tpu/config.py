@@ -45,7 +45,7 @@ TRAIN_UNBIASED_RATIO = 1.0 / 16.0
 
 # Compact radiance query: pos(3) + dir(2) + normal(2) + roughness(2)
 # + diffuse(3) + specular(3)   (reference neural_radiance_caching.h:33-35)
-NN_INPUT_DIMS = 13
+NN_INPUT_DIMS = 15
 NN_OUTPUT_DIMS = 3
 
 

@@ -1,0 +1,409 @@
+"""Device light sampling, fully batched over the ray wavefront.
+
+TPU-native port of the reference's light direct callables
+(``nrc/shaders/light_sample.cu`` + ``__direct_callable__light_mesh`` in
+``hit.cu:1473-1662``): env constant / env sphere / mesh / point / spot / IES.
+Function-pointer dispatch becomes masked selects over per-ray light type;
+the reference's binary-searched CDFs become Walker alias tables (O(1) gather
+per sample — fixes the memory-traffic FIXME at ``light_sample.cu:71``).
+
+Also hosts the env-map *miss* radiance evaluation used by the wavefront
+integrator (``__miss__env_constant/sphere``, ``miss.cu:114-230``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.lights import (
+    TYPE_LIGHT_ENV_CONST,
+    TYPE_LIGHT_ENV_SPHERE,
+    TYPE_LIGHT_IES,
+    TYPE_LIGHT_MESH,
+    TYPE_LIGHT_POINT,
+    TYPE_LIGHT_SPOT,
+    LightTable,
+    build_alias_table,
+)
+from ..utils.math import dot, normalize, safe_div
+
+M_PI = float(jnp.pi)
+RT_MAX = jnp.float32(3.0e38)
+DENOM_EPS = 1.0e-6
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    meta_fields=("types_static",),
+    data_fields=(
+        "type", "position", "ori", "ori_inv", "emission", "area",
+        "inv_integral", "spot_cos_half", "spot_angle_half", "spot_exponent",
+        "material_id", "emission_radiance", "tri_start", "tri_count",
+        "mesh_p0", "mesh_p1", "mesh_p2", "mesh_n0", "mesh_n1", "mesh_n2",
+        "mesh_prob", "mesh_alias", "env_texture", "env_prob", "env_alias",
+        "env_pdf",
+    ),
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceLights:
+    """Device-resident light table (pytree of jnp arrays).
+
+    ``types_static`` mirrors ``type`` as static Python metadata so the
+    integrator can specialize the compiled program to the light types
+    actually present (the reference's equivalent is per-light-type direct
+    callables baked into the pipeline).
+    """
+
+    type: jnp.ndarray           # [L] i32
+    position: jnp.ndarray       # [L, 3]
+    ori: jnp.ndarray            # [L, 3, 3] object->world rotation
+    ori_inv: jnp.ndarray        # [L, 3, 3]
+    emission: jnp.ndarray       # [L, 3]
+    area: jnp.ndarray           # [L]
+    inv_integral: jnp.ndarray   # [L]
+    spot_cos_half: jnp.ndarray  # [L]
+    spot_angle_half: jnp.ndarray  # [L]
+    spot_exponent: jnp.ndarray  # [L]
+    material_id: jnp.ndarray    # [L]
+    emission_radiance: jnp.ndarray  # [L, 3] mesh-light radiance (EDF eval'd)
+    tri_start: jnp.ndarray      # [L]
+    tri_count: jnp.ndarray      # [L]
+    # flat mesh-light triangle pool
+    mesh_p0: jnp.ndarray        # [T, 3]
+    mesh_p1: jnp.ndarray
+    mesh_p2: jnp.ndarray
+    mesh_n0: jnp.ndarray
+    mesh_n1: jnp.ndarray
+    mesh_n2: jnp.ndarray
+    # per-light padded alias tables over triangles [L, Tmax]
+    mesh_prob: jnp.ndarray
+    mesh_alias: jnp.ndarray
+    # environment (dummy 1x1 when absent)
+    env_texture: jnp.ndarray    # [H, W, 3]
+    env_prob: jnp.ndarray       # [H*W]
+    env_alias: jnp.ndarray      # [H*W] i32
+    env_pdf: jnp.ndarray        # [H, W] solid-angle pdf per texel
+    types_static: tuple = ()
+
+    @property
+    def num(self) -> int:
+        return len(self.types_static)
+
+
+def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None) -> DeviceLights:
+    """Host LightTable -> DeviceLights, building alias tables.
+
+    ``emission_radiance``: [L, 3] radiance of each mesh light's EDF
+    (intensity * 1/pi for diffuse EDF, radiant-exitance mode).
+    """
+    n = lt.num_lights
+    if emission_radiance is None:
+        emission_radiance = np.zeros((max(n, 1), 3), np.float32)
+
+    # per-light padded triangle alias tables
+    tmax = max(int(lt.tri_count.max()) if n else 0, 1)
+    mesh_prob = np.ones((max(n, 1), tmax), np.float32)
+    mesh_alias = np.zeros((max(n, 1), tmax), np.int32)
+    for i in range(n):
+        c = int(lt.tri_count[i])
+        if c > 0:
+            s = int(lt.tri_start[i])
+            areas = 0.5 * np.linalg.norm(
+                np.cross(
+                    lt.mesh_p1[s : s + c] - lt.mesh_p0[s : s + c],
+                    lt.mesh_p2[s : s + c] - lt.mesh_p0[s : s + c],
+                ),
+                axis=-1,
+            )
+            prob, alias = build_alias_table(areas)
+            mesh_prob[i, :c] = prob
+            mesh_alias[i, :c] = alias
+
+    if lt.env_texture is not None:
+        h, w, _ = lt.env_texture.shape
+        intensity = lt.env_texture.mean(axis=-1)
+        theta = (np.arange(h) + 0.5) / h * np.pi
+        weights = intensity * np.sin(theta)[:, None]
+        env_prob, env_alias = build_alias_table(weights)
+        # MIS pdf per texel (reference pretends perfect importance sampling of
+        # the unfiltered map: pdf = intensity * invIntegral, miss.cu:195-198)
+        env_idx = np.argmax(lt.type == TYPE_LIGHT_ENV_SPHERE)
+        env_pdf = intensity * float(lt.inv_integral[env_idx])
+        env_texture = lt.env_texture
+    else:
+        env_texture = np.zeros((1, 1, 3), np.float32)
+        env_prob = np.ones((1,), np.float32)
+        env_alias = np.zeros((1,), np.int32)
+        env_pdf = np.full((1, 1), 0.25 / np.pi, np.float32)
+
+    def j(x, dt=jnp.float32):
+        return jnp.asarray(x, dt)
+
+    if n == 0:
+        z = np.zeros
+        return DeviceLights(
+            type=j(z(0), jnp.int32), position=j(z((0, 3))),
+            ori=j(z((0, 3, 3))), ori_inv=j(z((0, 3, 3))),
+            emission=j(z((0, 3))), area=j(z(0)), inv_integral=j(z(0)),
+            spot_cos_half=j(z(0)), spot_angle_half=j(z(0)), spot_exponent=j(z(0)),
+            material_id=j(z(0), jnp.int32),
+            emission_radiance=j(z((1, 3))),
+            tri_start=j(z(1), jnp.int32), tri_count=j(z(1), jnp.int32),
+            mesh_p0=j(z((1, 3))), mesh_p1=j(z((1, 3))), mesh_p2=j(z((1, 3))),
+            mesh_n0=j(z((1, 3))), mesh_n1=j(z((1, 3))), mesh_n2=j(z((1, 3))),
+            mesh_prob=j(mesh_prob), mesh_alias=j(mesh_alias, jnp.int32),
+            env_texture=j(env_texture), env_prob=j(env_prob),
+            env_alias=j(env_alias, jnp.int32), env_pdf=j(env_pdf),
+            types_static=(),
+        )
+
+    def pad1(x):
+        return x if x.shape[0] > 0 else np.zeros((1,) + x.shape[1:], x.dtype)
+
+    return DeviceLights(
+        type=j(lt.type, jnp.int32),
+        position=j(lt.matrix[:, :3, 3]),
+        ori=j(lt.matrix[:, :3, :3]),
+        ori_inv=j(lt.matrix_inv[:, :3, :3]),
+        emission=j(lt.emission),
+        area=j(lt.area),
+        inv_integral=j(lt.inv_integral),
+        spot_cos_half=j(np.cos(lt.spot_angle_half)),
+        spot_angle_half=j(lt.spot_angle_half),
+        spot_exponent=j(lt.spot_exponent),
+        material_id=j(lt.material_id, jnp.int32),
+        emission_radiance=j(emission_radiance),
+        tri_start=j(lt.tri_start, jnp.int32),
+        tri_count=j(np.maximum(lt.tri_count, 1), jnp.int32),
+        mesh_p0=j(pad1(lt.mesh_p0)), mesh_p1=j(pad1(lt.mesh_p1)), mesh_p2=j(pad1(lt.mesh_p2)),
+        mesh_n0=j(pad1(lt.mesh_n0)), mesh_n1=j(pad1(lt.mesh_n1)), mesh_n2=j(pad1(lt.mesh_n2)),
+        mesh_prob=j(mesh_prob),
+        mesh_alias=j(mesh_alias, jnp.int32),
+        env_texture=j(env_texture),
+        env_prob=j(env_prob),
+        env_alias=j(env_alias, jnp.int32),
+        env_pdf=j(env_pdf),
+        types_static=tuple(int(t) for t in lt.type),
+    )
+
+
+class LightSample(NamedTuple):
+    direction: jnp.ndarray         # [N, 3] surface -> light
+    distance: jnp.ndarray          # [N]
+    radiance_over_pdf: jnp.ndarray  # [N, 3]
+    pdf: jnp.ndarray               # [N] solid-angle (1 for singular), 0 invalid
+    is_singular: jnp.ndarray       # [N] bool (skip MIS, light_sample.cu)
+
+
+def sample_lights(
+    lights: DeviceLights,
+    pos: jnp.ndarray,       # [N, 3] surface positions
+    xi: jnp.ndarray,        # [N, 4] uniforms (light choice + position)
+) -> LightSample:
+    """Pick one of L lights uniformly and sample it (``hit.cu:350-362``).
+
+    The 1/L selection probability is compensated by the caller multiplying
+    by numLights (``hit.cu:424-426``).
+    """
+    n = pos.shape[0]
+    num = lights.num
+    if num == 0:
+        z = jnp.zeros((n,))
+        return LightSample(
+            direction=jnp.zeros((n, 3)), distance=z,
+            radiance_over_pdf=jnp.zeros((n, 3)), pdf=z, is_singular=z > 1,
+        )
+
+    idx = jnp.minimum((xi[:, 0] * num).astype(jnp.int32), num - 1)
+    ltype = lights.type[idx]
+    emission = lights.emission[idx]
+
+    # defaults
+    direction = jnp.zeros((n, 3))
+    distance = jnp.zeros((n,))
+    rad_over_pdf = jnp.zeros((n, 3))
+    pdf = jnp.zeros((n,))
+
+    present = set(lights.types_static)
+
+    # --- singular lights (point / spot / ies) ---------------------------
+    singular_types = {TYPE_LIGHT_POINT, TYPE_LIGHT_SPOT, TYPE_LIGHT_IES}
+    if present & singular_types:
+        lpos = lights.position[idx]
+        d = lpos - pos
+        d2 = dot(d, d)
+        valid = d2 > DENOM_EPS
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+        dirn = d / dist[..., None]
+        emis = emission * safe_div(1.0, d2)[..., None]
+
+        if TYPE_LIGHT_SPOT in present:
+            # spot cone falloff (light_sample.cu:188-210): angle between the
+            # light->surface direction and the light's local +z axis
+            z_axis = normalize(lights.ori[idx][..., :, 2])  # local +z in world
+            cos_theta = dot(-dirn, z_axis)
+            inside = cos_theta >= lights.spot_cos_half[idx]
+            ang_half = jnp.maximum(lights.spot_angle_half[idx], 1e-6)
+            cos_hemi = jnp.cos(
+                (M_PI / 2.0) * jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0)) / ang_half
+            )
+            falloff = jnp.power(jnp.maximum(cos_hemi, 0.0), lights.spot_exponent[idx])
+            is_spot = ltype == TYPE_LIGHT_SPOT
+            emis = jnp.where(is_spot[..., None], emis * falloff[..., None], emis)
+            valid = valid & jnp.where(is_spot, inside, True)
+
+        if TYPE_LIGHT_IES in present:
+            # profile texture modulation around the light's local frame
+            r = -dirn  # light -> surface, world
+            rl = jnp.einsum("nij,nj->ni", lights.ori_inv[idx], r)
+            u = (jnp.arctan2(-rl[..., 0], rl[..., 2]) + M_PI) * 0.5 / M_PI
+            v = jnp.arccos(jnp.clip(-rl[..., 1], -1.0, 1.0)) / M_PI
+            # IES profile textures land in a later pass; emission alone here
+            del u, v
+
+        is_sing = (
+            (ltype == TYPE_LIGHT_POINT)
+            | (ltype == TYPE_LIGHT_SPOT)
+            | (ltype == TYPE_LIGHT_IES)
+        )
+        sel = is_sing & valid
+        direction = jnp.where(sel[..., None], dirn, direction)
+        distance = jnp.where(sel, dist, distance)
+        rad_over_pdf = jnp.where(sel[..., None], emis, rad_over_pdf)
+        pdf = jnp.where(sel, 1.0, pdf)
+
+    # --- mesh lights ------------------------------------------------------
+    if TYPE_LIGHT_MESH in present:
+        count = lights.tri_count[idx]
+        k = jnp.minimum((xi[:, 3] * count.astype(jnp.float32)).astype(jnp.int32), count - 1)
+        frac = xi[:, 3] * count.astype(jnp.float32) - k.astype(jnp.float32)
+        prob = lights.mesh_prob[idx, k]
+        alias = lights.mesh_alias[idx, k]
+        tri = jnp.where(frac < prob, k, alias)
+        flat = lights.tri_start[idx] + tri
+
+        # uniform point on triangle (hit.cu:1488-1492)
+        su = jnp.sqrt(jnp.clip(xi[:, 1], 0.0, 1.0))
+        a = 1.0 - su
+        b = xi[:, 2] * su
+        g = 1.0 - a - b
+        p = (
+            a[..., None] * lights.mesh_p0[flat]
+            + b[..., None] * lights.mesh_p1[flat]
+            + g[..., None] * lights.mesh_p2[flat]
+        )
+        d = p - pos
+        dist = jnp.sqrt(jnp.maximum(dot(d, d), 1e-20))
+        dirn = d / dist[..., None]
+        ng = jnp.cross(
+            lights.mesh_p1[flat] - lights.mesh_p0[flat],
+            lights.mesh_p2[flat] - lights.mesh_p0[flat],
+        )
+        ng = normalize(ng)
+        cos_l = dot(-dirn, ng)  # EDF cos: outgoing dir at light = -dirn
+        area = lights.area[idx]
+        # pdf = d^2 / (area * cos) solid-angle (hit.cu:1652-1655)
+        denom = jnp.maximum(area * cos_l, DENOM_EPS)
+        pdf_m = dist * dist / denom
+        # diffuse EDF: radiance = emission_radiance (frontface only)
+        radiance = lights.emission_radiance[idx]
+        valid = (cos_l > DENOM_EPS) & (dist > DENOM_EPS) & (pdf_m > DENOM_EPS)
+        rop = safe_div(radiance, pdf_m[..., None])
+
+        is_mesh = ltype == TYPE_LIGHT_MESH
+        sel = is_mesh & valid
+        direction = jnp.where(sel[..., None], dirn, direction)
+        distance = jnp.where(sel, dist, distance)
+        rad_over_pdf = jnp.where(sel[..., None], rop, rad_over_pdf)
+        pdf = jnp.where(sel, pdf_m, pdf)
+
+    # --- env constant -----------------------------------------------------
+    if TYPE_LIGHT_ENV_CONST in present:
+        # uniform sphere (light_sample.cu __direct_callable__light_env_constant)
+        z = 1.0 - 2.0 * xi[:, 1]
+        r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        phi = xi[:, 2] * 2.0 * M_PI
+        dirn = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+        pdf_e = jnp.full((n,), 0.25 / M_PI)
+        is_env = ltype == TYPE_LIGHT_ENV_CONST
+        direction = jnp.where(is_env[..., None], dirn, direction)
+        distance = jnp.where(is_env, RT_MAX, distance)
+        rad_over_pdf = jnp.where(
+            is_env[..., None], emission / pdf_e[..., None], rad_over_pdf
+        )
+        pdf = jnp.where(is_env, pdf_e, pdf)
+
+    # --- env sphere (textured, alias-sampled) -----------------------------
+    if TYPE_LIGHT_ENV_SPHERE in present:
+        h, w, _ = lights.env_texture.shape
+        nt = h * w
+        k = jnp.minimum((xi[:, 1] * nt).astype(jnp.int32), nt - 1)
+        frac = xi[:, 1] * nt - k.astype(jnp.float32)
+        texel = jnp.where(frac < lights.env_prob[k], k, lights.env_alias[k])
+        ty = texel // w
+        tx = texel % w
+        # jitter inside the texel
+        u = (tx.astype(jnp.float32) + xi[:, 2]) / w
+        v = (ty.astype(jnp.float32) + xi[:, 3]) / h
+        phi = u * 2.0 * M_PI
+        theta = v * M_PI
+        st = jnp.sin(theta)
+        # object-space: u=0 seam on -z, v=0 south pole (light_sample.cu:95-106)
+        d_obj = jnp.stack([jnp.sin(phi) * st, -jnp.cos(theta), -jnp.cos(phi) * st], -1)
+        dirn = jnp.einsum("nij,nj->ni", lights.ori[idx], d_obj)
+        emis = lights.env_texture[ty, tx]
+        pdf_e = lights.env_pdf[ty, tx]
+        valid = pdf_e > DENOM_EPS
+        rop = safe_div(emission * emis, pdf_e[..., None])
+        is_env = ltype == TYPE_LIGHT_ENV_SPHERE
+        sel = is_env & valid
+        direction = jnp.where(sel[..., None], dirn, direction)
+        distance = jnp.where(sel, RT_MAX, distance)
+        rad_over_pdf = jnp.where(sel[..., None], rop, rad_over_pdf)
+        pdf = jnp.where(sel, pdf_e, pdf)
+
+    is_singular = ltype >= TYPE_LIGHT_POINT
+    return LightSample(
+        direction=direction,
+        distance=distance,
+        radiance_over_pdf=rad_over_pdf,
+        pdf=pdf,
+        is_singular=is_singular,
+    )
+
+
+def env_radiance(lights: DeviceLights, direction: jnp.ndarray):
+    """Env emission + MIS pdf for rays escaping the scene.
+
+    Port of ``__miss__env_constant`` / ``__miss__env_sphere``
+    (``miss.cu:114-230``). Returns (emission [N,3], pdf_light [N], has_env).
+    """
+    n = direction.shape[0]
+    if lights.num == 0:
+        return jnp.zeros((n, 3)), jnp.zeros((n,)), False
+
+    t0 = lights.types_static[0]
+    if t0 == TYPE_LIGHT_ENV_CONST:
+        emission = jnp.broadcast_to(lights.emission[0], (n, 3))
+        pdf = jnp.full((n,), 0.25 / M_PI)
+        return emission, pdf, True
+    if t0 == TYPE_LIGHT_ENV_SPHERE:
+        h, w, _ = lights.env_texture.shape
+        r = jnp.einsum("ij,nj->ni", lights.ori_inv[0], direction)
+        u = (jnp.arctan2(-r[..., 0], r[..., 2]) + M_PI) * 0.5 / M_PI
+        v = jnp.arccos(jnp.clip(-r[..., 1], -1.0, 1.0)) / M_PI
+        tx = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        ty = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        tex = lights.env_texture[ty, tx]
+        emission = tex * lights.emission[0]
+        # pdf = intensity(tex) * invIntegral (miss.cu:195-198)
+        pdf = tex.mean(axis=-1) * lights.inv_integral[0]
+        return emission, pdf, True
+    return jnp.zeros((n, 3)), jnp.zeros((n,)), False

@@ -1,0 +1,492 @@
+"""Wavefront path-tracing integrator with NRC training-data emission.
+
+The TPU-native redesign of the reference's OptiX megakernel
+(``__raygen__nrc_path_tracer`` + ``nrcIntegrator`` loop,
+``nrc/shaders/raygeneration.cu:139-289``, and ``__closesthit__radiance``,
+``nrc/shaders/hit.cu:672-1064``): instead of per-thread divergent control
+flow, a ``lax.scan`` over bounce depth advances the whole SoA ray batch,
+with every branch a masked select. Everything compiles into one XLA program.
+
+Two wavefronts replace the reference's in-kernel render/suffix state machine:
+
+- the *render* wavefront covers all pixels: emission with MIS, NEE, BSDF
+  sampling, area-spread truncation into the cache (Eq. 2-4 of the paper,
+  ``hit.cu:527-585``), producing per-pixel radiance + the cache query at the
+  truncation vertex + ``lastRenderThroughput`` (``raygeneration.cu:364-366``).
+- the *training* wavefront covers one ray per screen tile
+  (``isTrainingRay``, ``raygeneration.cu:123-136``): the same transport, but
+  every non-specular vertex appends a training record. The reference's
+  global atomicAdd record allocator + propTo linked lists
+  (``hit.cu:975-1028``) become a static per-tile strided layout
+  ``[num_tiles, max_records]`` — records of a tile are consecutive, so
+  radiance propagation is a dense reverse scan and no mid-frame host
+  readback of ``numTrainingRecords`` is needed (``Device.cpp:2487-2491``
+  becomes an on-device count).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FrameConfig, RenderMode
+from ..ops import bsdf as B
+from ..ops.intersect import RT_MAX, make_intersectors
+from ..ops.light_sampling import env_radiance, sample_lights
+from ..utils.math import (
+    balance_heuristic,
+    cartesian_to_spherical_unit,
+    dot,
+    normalize,
+    safe_div,
+)
+from ..utils import rng as R
+from .scene_device import DeviceScene
+
+QUERY_DIMS = 15  # pos3 + dir2 + normal2 + rough2 + diffuse3 + specular3
+
+
+def make_query(pos, wo, normal, aux: B.BSDFAux, position_scale: float):
+    """Assemble the compact radiance query (``nrc::addQuery``, hit.cu:589-617)."""
+    sph_d = cartesian_to_spherical_unit(wo)
+    sph_n = cartesian_to_spherical_unit(normal)
+    return jnp.concatenate(
+        [
+            pos * position_scale,
+            sph_d,
+            sph_n,
+            aux.roughness,
+            aux.albedo_diffuse,
+            aux.albedo_glossy,
+        ],
+        axis=-1,
+    )
+
+
+class WavefrontOut(NamedTuple):
+    """Per-wavefront outputs (N = #rays)."""
+
+    radiance: jnp.ndarray                 # [N, 3] path-traced radiance
+    render_query: jnp.ndarray             # [N, 13] query at truncation vertex
+    last_render_throughput: jnp.ndarray   # [N, 3] (0 -> query unused)
+    cache_vis_query: jnp.ndarray          # [N, 13] first non-specular vertex
+    # training outputs (zero-sized slots in the render wavefront)
+    rec_query: jnp.ndarray                # [N, D, 13]
+    rec_ltp: jnp.ndarray                  # [N, D, 3] localThroughput
+    rec_target: jnp.ndarray               # [N, D, 3]
+    rec_count: jnp.ndarray                # [N] i32
+    end_query: jnp.ndarray                # [N, 13] training-suffix end vertex
+    end_mask: jnp.ndarray                 # [N] 1 self-train / 0 unbiased
+
+
+class _State(NamedTuple):
+    pos: jnp.ndarray
+    wi: jnp.ndarray
+    seed: jnp.ndarray
+    throughput: jnp.ndarray
+    radiance: jnp.ndarray
+    pdf: jnp.ndarray            # pdf of previous BSDF event (0 = dirac)
+    event: jnp.ndarray          # previous event bitmask
+    alive: jnp.ndarray
+    hit_before: jnp.ndarray     # apply scene epsilon (raygeneration.cu:175)
+    area_spread: jnp.ndarray
+    area_threshold: jnp.ndarray
+    recorded_first: jnp.ndarray
+    render_done: jnp.ndarray    # render part of the path has terminated
+    suffix: jnp.ndarray         # in training suffix
+    unbiased: jnp.ndarray
+    full: jnp.ndarray           # per-tile record slots exhausted
+    rec_count: jnp.ndarray
+    ior_stack: jnp.ndarray      # [N, 4] nested-medium IORs (per_ray_data.h:81)
+    stack_idx: jnp.ndarray      # [N]
+    last_render_throughput: jnp.ndarray
+    render_query: jnp.ndarray
+    cache_vis_query: jnp.ndarray
+    rec_query: jnp.ndarray
+    rec_ltp: jnp.ndarray
+    rec_target: jnp.ndarray
+    end_query: jnp.ndarray
+    end_mask: jnp.ndarray
+
+
+def trace_wavefront(
+    scene: DeviceScene,
+    org: jnp.ndarray,        # [N, 3] primary ray origins
+    direction: jnp.ndarray,  # [N, 3]
+    seeds: jnp.ndarray,      # [N] u32 (after lens-jitter consumption)
+    cfg: FrameConfig,
+    train: bool,
+    unbiased: Optional[jnp.ndarray] = None,  # [N] bool (train wavefront)
+) -> WavefrontOut:
+    n = org.shape[0]
+    d_rec = cfg.max_train_records_per_ray if train else 1
+    closest_hit, any_hit = make_intersectors(scene.tris, scene.bvh)
+    num_lights = scene.lights.num
+
+    truncate = train or cfg.render_mode != RenderMode.NO_CACHE
+    direct_lighting = cfg.direct_lighting and num_lights > 0
+    eps = cfg.scene_epsilon
+
+    if unbiased is None:
+        unbiased = jnp.zeros((n,), bool)
+
+    from ..config import NRCHyperParams
+
+    sqrt_c = NRCHyperParams().area_spread_factor_sqrt  # sqrt(c), c = 0.01
+
+    def zero3():
+        return jnp.zeros((n, 3), jnp.float32)
+
+    state = _State(
+        pos=org,
+        wi=direction,
+        seed=seeds,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        radiance=zero3(),
+        pdf=jnp.zeros((n,), jnp.float32),
+        event=jnp.full((n,), B.BSDF_EVENT_ABSORB, jnp.int32),
+        alive=jnp.ones((n,), bool),
+        hit_before=jnp.zeros((n,), bool),
+        area_spread=jnp.zeros((n,), jnp.float32),
+        area_threshold=jnp.full((n,), jnp.inf, jnp.float32),
+        recorded_first=jnp.zeros((n,), bool),
+        render_done=jnp.zeros((n,), bool),
+        suffix=jnp.zeros((n,), bool),
+        unbiased=unbiased if train else jnp.zeros((n,), bool),
+        full=jnp.zeros((n,), bool),
+        rec_count=jnp.zeros((n,), jnp.int32),
+        ior_stack=jnp.ones((n, 4), jnp.float32),
+        stack_idx=jnp.zeros((n,), jnp.int32),
+        last_render_throughput=zero3(),
+        render_query=jnp.zeros((n, QUERY_DIMS), jnp.float32),
+        cache_vis_query=jnp.zeros((n, QUERY_DIMS), jnp.float32),
+        rec_query=jnp.zeros((n, d_rec, QUERY_DIMS), jnp.float32),
+        rec_ltp=jnp.zeros((n, d_rec, 3), jnp.float32),
+        rec_target=jnp.zeros((n, d_rec, 3), jnp.float32),
+        end_query=jnp.zeros((n, QUERY_DIMS), jnp.float32),
+        end_mask=jnp.zeros((n,), jnp.float32),
+    )
+
+    rows = jnp.arange(n)
+
+    def add_to_last_record(s: _State, amount, mask):
+        """targets[lastTrainRecordIndex] += amount (miss.cu:144-147, hit.cu:817)."""
+        if not train:
+            return s
+        has_rec = s.rec_count > 0
+        slot = jnp.maximum(s.rec_count - 1, 0)
+        m = mask & has_rec & ~s.full
+        upd = s.rec_target.at[rows, slot].add(
+            jnp.where(m[..., None], amount, 0.0)
+        )
+        return s._replace(rec_target=upd)
+
+    def bounce(s: _State, first: bool, depth_val):
+        """One wavefront bounce. ``first`` is static (threshold vs spread
+        branch); ``depth_val`` is a traced scalar (RR min-depth check)."""
+        active = s.alive
+        wo = -s.wi
+        tmin = jnp.where(s.hit_before, eps, 0.0)
+        # inactive lanes trace a degenerate ray (t range empty)
+        tmax = jnp.where(active, RT_MAX, 0.0)
+        hit = closest_hit(s.pos, s.wi, tmin, tmax)
+        hit_valid = hit.valid & active
+
+        tri = jnp.maximum(hit.prim, 0)
+        w_bary = 1.0 - hit.u - hit.v
+        p_hit = s.pos + hit.t[..., None] * s.wi
+        e1 = scene.tris.e1[tri]
+        e2 = scene.tris.e2[tri]
+        ng = normalize(jnp.cross(e1, e2))
+        ns = normalize(
+            w_bary[..., None] * scene.n0[tri]
+            + hit.u[..., None] * scene.n1[tri]
+            + hit.v[..., None] * scene.n2[tri]
+        )
+        mid = scene.tri_material[tri]
+        params = B.MaterialParams(
+            archetype=scene.mat_archetype[mid],
+            albedo=scene.mat_albedo[mid],
+            roughness=scene.mat_roughness[mid],
+            ior=scene.mat_ior[mid],
+            thin_walled=scene.mat_thin_walled[mid],
+        )
+        front = dot(wo, ng) >= 0.0
+        flip = ~front
+        ns_q = jnp.where(flip[..., None], -ns, ns)  # query normal (hit.cu:600)
+
+        prev_non_dirac = (s.event & B.BSDF_EVENT_NON_DIRAC) != 0
+
+        # ---- miss: environment ---------------------------------------
+        miss = active & ~hit.valid
+        radiance = s.radiance
+        env_em, env_pdf, has_env = env_radiance(scene.lights, s.wi)
+        if has_env:
+            w_mis = jnp.where(
+                direct_lighting & prev_non_dirac,
+                balance_heuristic(s.pdf, env_pdf),
+                1.0,
+            )
+            contrib = s.throughput * env_em * w_mis[..., None]
+            add_pixel = miss & ~s.suffix
+            radiance = radiance + jnp.where(add_pixel[..., None], contrib, 0.0)
+            s = add_to_last_record(s, contrib, miss)
+        # miss terminates: render query unused (lastRenderThroughput = 0,
+        # miss.cu:97-104), train suffix ends unbiased (mask stays 0)
+        lrt = jnp.where(
+            (miss & ~s.render_done)[..., None], 0.0, s.last_render_throughput
+        )
+        alive = s.alive & ~miss
+
+        # ---- emission of hit surface (mesh lights, hit.cu:738-821) ----
+        em_rad = scene.mat_emission_radiance[mid]
+        light_idx = scene.tri_light[tri]
+        area = scene.lights.area[jnp.maximum(light_idx, 0)] if num_lights else jnp.ones_like(hit.t)
+        cos_e = dot(ns, wo)
+        emissive = hit_valid & front & (jnp.max(em_rad, axis=-1) > 0.0) & (cos_e > 0.0)
+        if num_lights:
+            pdf_hit = safe_div(hit.t * hit.t, area * cos_e)
+            w_mis_e = jnp.where(
+                direct_lighting & prev_non_dirac,
+                balance_heuristic(s.pdf, pdf_hit),
+                1.0,
+            )
+            emission = s.throughput * em_rad * w_mis_e[..., None]
+            add_pixel = emissive & ~s.suffix
+            radiance = radiance + jnp.where(add_pixel[..., None], emission, 0.0)
+            s = add_to_last_record(s, emission, emissive)
+
+        # ---- area-spread termination decision (hit.cu:527-585) --------
+        abs_cos = jnp.abs(dot(wo, ns))
+        if first:
+            threshold = sqrt_c * safe_div(
+                hit.t, jnp.sqrt(4.0 * jnp.pi * jnp.maximum(abs_cos, 1e-12))
+            )
+            area_threshold = jnp.where(hit_valid, threshold, s.area_threshold)
+            area_spread = s.area_spread
+            terminate = jnp.zeros((n,), bool)
+        else:
+            area_threshold = s.area_threshold
+            not_unbiased_suffix = ~(s.unbiased & s.suffix)
+            prev_specular = (s.event & B.BSDF_EVENT_SPECULAR) != 0
+            pdf_prev = jnp.where(s.pdf == 0.0, jnp.inf, s.pdf)
+            delta = safe_div(hit.t, jnp.sqrt(pdf_prev * jnp.maximum(abs_cos, 1e-12)))
+            accum = hit_valid & not_unbiased_suffix & ~prev_specular
+            area_spread = s.area_spread + jnp.where(accum, delta, 0.0)
+            terminate = accum & (area_spread > area_threshold)
+        if not truncate:
+            terminate = jnp.zeros((n,), bool)
+
+        # ---- BSDF sample ---------------------------------------------
+        seed, xi = R.rng4(s.seed)
+        top = s.ior_stack[rows, s.stack_idx]
+        below = s.ior_stack[rows, jnp.maximum(s.stack_idx - 1, 0)]
+        thin = params.thin_walled != 0
+        eta_i = jnp.where(front | thin, top, params.ior)
+        eta_t = jnp.where(front | thin, params.ior, below)
+        sample = B.bsdf_sample(params, wo, ns, ng, xi, eta_i, eta_t)
+        event = jnp.where(hit_valid, sample.event, jnp.int32(B.BSDF_EVENT_ABSORB))
+        event_non_dirac = (event & B.BSDF_EVENT_NON_DIRAC) != 0
+        event_specular = (event & B.BSDF_EVENT_SPECULAR) != 0
+
+        # ---- aux + cache-vis query (hit.cu:888-898) -------------------
+        aux = B.bsdf_aux(params)
+        query_here = make_query(p_hit, wo, ns_q, aux, cfg.position_scale)
+        first_ns = hit_valid & ~s.recorded_first & ~event_specular
+        cache_vis_query = jnp.where(
+            first_ns[..., None], query_here, s.cache_vis_query
+        )
+        recorded_first = s.recorded_first | first_ns
+
+        # ---- early absorb (hit.cu:900-920) ----------------------------
+        absorbed = hit_valid & (event == B.BSDF_EVENT_ABSORB)
+        lrt = jnp.where(
+            (absorbed & ~s.suffix & ~s.render_done)[..., None], 0.0, lrt
+        )
+        alive = alive & ~absorbed
+
+        # ---- area-spread termination handling (hit.cu:924-971) --------
+        term = hit_valid & terminate & ~absorbed & alive
+        render_query = s.render_query
+        end_query = s.end_query
+        end_mask = s.end_mask
+        suffix = s.suffix
+        area_spread2 = area_spread
+        render_done = s.render_done
+
+        if not train:
+            # pure render ray: query + lastRenderThroughput, then stop
+            render_query = jnp.where(term[..., None], query_here, render_query)
+            lrt = jnp.where(term[..., None], s.throughput, lrt)
+            alive = alive & ~term
+            render_done = render_done | term
+        else:
+            # suffix end -> self-train terminal vertex (hit.cu:933-940)
+            end_self = term & suffix
+            end_query = jnp.where(end_self[..., None], query_here, end_query)
+            end_mask = jnp.where(end_self, 1.0, end_mask)
+            alive = alive & ~end_self
+            # render-path end -> switch into suffix (hit.cu:941-959);
+            # if records already overflowed, stop (hit.cu:950-953)
+            to_suffix = term & ~suffix
+            alive = alive & ~(to_suffix & s.full)
+            suffix = suffix | to_suffix
+            area_spread2 = jnp.where(to_suffix, 0.0, area_spread)
+            render_done = render_done | to_suffix
+
+        # ---- allocate training record (hit.cu:975-1028) ---------------
+        rec_query, rec_ltp, rec_target = s.rec_query, s.rec_ltp, s.rec_target
+        rec_count, full = s.rec_count, s.full
+        allocated = jnp.zeros((n,), bool)
+        if train:
+            want = alive & hit_valid & event_non_dirac & ~full
+            slot = rec_count
+            overflow = want & (slot >= d_rec)
+            do_alloc = want & (slot < d_rec)
+            slot_c = jnp.minimum(slot, d_rec - 1)
+            rec_query = rec_query.at[rows, slot_c].set(
+                jnp.where(do_alloc[..., None], query_here, rec_query[rows, slot_c])
+            )
+            rec_ltp = rec_ltp.at[rows, slot_c].set(
+                jnp.where(
+                    do_alloc[..., None], sample.bsdf_over_pdf, rec_ltp[rows, slot_c]
+                )
+            )
+            rec_count = rec_count + do_alloc.astype(jnp.int32)
+            allocated = do_alloc
+            # overflow: forced self-train end at this vertex (hit.cu:1009-1027)
+            end_query = jnp.where(overflow[..., None], query_here, end_query)
+            end_mask = jnp.where(overflow, 1.0, end_mask)
+            full = full | overflow
+            alive = alive & ~overflow  # wavefront B has nothing left to do
+
+        # ---- NEE / direct lighting (hit.cu:343-443, 1030-1056) --------
+        if direct_lighting:
+            seed, xi_l = R.rng4(seed)
+            ls = sample_lights(scene.lights, p_hit, xi_l)
+            ev = B.bsdf_eval(params, wo, ls.direction, ns, eta_i, eta_t)
+            do_nee = alive & hit_valid & event_non_dirac
+            valid_ls = (ls.pdf > 0.0) & (jnp.max(ev.bsdf, axis=-1) > 0.0) & (ev.pdf > 0.0)
+            shadow_tmax = jnp.where(
+                do_nee & valid_ls, ls.distance - eps, 0.0
+            )
+            occluded = any_hit(
+                p_hit, ls.direction, jnp.full((n,), eps), shadow_tmax
+            )
+            w_mis_l = jnp.where(
+                ls.is_singular, 1.0, balance_heuristic(ls.pdf, ev.pdf)
+            )
+            direct = (
+                ev.bsdf
+                * ls.radiance_over_pdf
+                * (float(num_lights) * w_mis_l)[..., None]
+            )
+            ok = do_nee & valid_ls & ~occluded
+            direct = jnp.where(ok[..., None], direct, 0.0)
+            if train:
+                slot_c = jnp.minimum(jnp.maximum(rec_count - 1, 0), d_rec - 1)
+                rec_target = rec_target.at[rows, slot_c].add(
+                    jnp.where(allocated[..., None], direct, 0.0)
+                )
+            add_pixel = ok & ~suffix
+            radiance = radiance + jnp.where(
+                add_pixel[..., None], s.throughput * direct, 0.0
+            )
+
+        # ---- advance the path ----------------------------------------
+        throughput = jnp.where(
+            hit_valid[..., None], s.throughput * sample.bsdf_over_pdf, s.throughput
+        )
+        # nested-medium stack on transmission through a boundary
+        # (hit.cu:488-524, IOR only — volume coefficients in a later pass)
+        transmit = (
+            hit_valid
+            & ((event & B.BSDF_EVENT_TRANSMISSION) != 0)
+            & ~thin
+        )
+        push = transmit & front
+        pop = transmit & ~front
+        new_idx = jnp.clip(
+            s.stack_idx + push.astype(jnp.int32) - pop.astype(jnp.int32), 0, 3
+        )
+        ior_stack = s.ior_stack.at[rows, new_idx].set(
+            jnp.where(push, params.ior, s.ior_stack[rows, new_idx])
+        )
+
+        # ---- unbiased-suffix Russian roulette (raygeneration.cu:245-262)
+        if train:
+            seed, u_rr = R.rng(seed)
+            do_rr = (
+                alive
+                & s.unbiased
+                & suffix
+                & (depth_val >= cfg.min_depth_rr)
+            )
+            prob = jnp.maximum(jnp.max(throughput, axis=-1), 0.005)
+            kill = do_rr & (prob < u_rr)
+            throughput = jnp.where(
+                (do_rr & ~kill)[..., None], throughput / prob[..., None], throughput
+            )
+            alive = alive & ~kill  # unbiased end: mask stays 0
+
+        return _State(
+            pos=jnp.where(hit_valid[..., None], p_hit, s.pos),
+            wi=jnp.where(hit_valid[..., None], sample.wi, s.wi),
+            seed=seed,
+            throughput=throughput,
+            radiance=radiance,
+            pdf=jnp.where(hit_valid, sample.pdf, s.pdf),
+            event=event,
+            alive=alive,
+            hit_before=s.hit_before | hit_valid,
+            area_spread=area_spread2,
+            area_threshold=area_threshold,
+            recorded_first=recorded_first,
+            render_done=render_done,
+            suffix=suffix,
+            unbiased=s.unbiased,
+            full=full,
+            rec_count=rec_count,
+            ior_stack=ior_stack,
+            stack_idx=new_idx,
+            last_render_throughput=lrt,
+            render_query=render_query,
+            cache_vis_query=cache_vis_query,
+            rec_query=rec_query,
+            rec_ltp=rec_ltp,
+            rec_target=rec_target,
+            end_query=end_query,
+            end_mask=end_mask,
+        )
+
+    # Depth 0 computes the area threshold (structurally different), so it is
+    # unrolled; all later bounces are one traced body compiled once by scan.
+    state = bounce(state, True, jnp.int32(0))
+    if cfg.max_depth >= 1:
+
+        def scan_body(s, depth_val):
+            return bounce(s, False, depth_val), None
+
+        state, _ = jax.lax.scan(
+            scan_body, state, jnp.arange(1, cfg.max_depth + 1, dtype=jnp.int32)
+        )
+
+    # max-depth cleanup (raygeneration.cu:274-284): surviving render rays
+    # contribute no cache radiance; surviving train rays end unbiased.
+    still = state.alive & ~state.render_done
+    lrt = jnp.where(still[..., None], 0.0, state.last_render_throughput)
+
+    return WavefrontOut(
+        radiance=state.radiance,
+        render_query=state.render_query,
+        last_render_throughput=lrt,
+        cache_vis_query=state.cache_vis_query,
+        rec_query=state.rec_query,
+        rec_ltp=state.rec_ltp,
+        rec_target=state.rec_target,
+        rec_count=state.rec_count,
+        end_query=state.end_query,
+        end_mask=state.end_mask,
+    )

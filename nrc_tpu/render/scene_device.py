@@ -1,0 +1,108 @@
+"""Device-resident scene: host Scene -> pytree of jnp arrays.
+
+The upload boundary that replaces ``Device::initScene/initLights/
+initCameras`` + per-island resource distribution (``Device.cpp:1515-1646``,
+``Raytracer.cpp:574-621``). Under ``shard_map`` these arrays get replicated
+(scene data) per chip, mirroring the reference's per-island replication
+policy (P3 in SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.intersect import TriSoA
+from ..ops.light_sampling import DeviceLights, upload_lights
+from ..scene.materials import EmissionMode
+from ..scene.scene_builder import Scene
+
+M_PI = float(np.pi)
+
+
+class DeviceScene(NamedTuple):
+    tris: TriSoA
+    n0: jnp.ndarray  # [T, 3] shading normals per vertex
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    tri_material: jnp.ndarray  # [T] i32
+    tri_light: jnp.ndarray     # [T] i32 (-1 when not emissive)
+
+    # material table (SoA)
+    mat_archetype: jnp.ndarray          # [M] i32
+    mat_albedo: jnp.ndarray             # [M, 3]
+    mat_roughness: jnp.ndarray          # [M, 2]
+    mat_ior: jnp.ndarray                # [M]
+    mat_thin_walled: jnp.ndarray        # [M] i32
+    mat_emission_radiance: jnp.ndarray  # [M, 3] radiance of the diffuse EDF
+    mat_sigma_a: jnp.ndarray            # [M, 3]
+    mat_sigma_s: jnp.ndarray            # [M, 3]
+    mat_volume_bias: jnp.ndarray        # [M]
+
+    lights: DeviceLights
+    bvh: Optional[dict]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tris.num
+
+
+def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
+    mt = scene.materials
+
+    # Emitted radiance of each material's diffuse EDF: intensity * edf(1/pi)
+    # * factor, where factor = 1 for radiant-exitance mode and 1/area for
+    # power mode (hit.cu:792-806). Power mode needs the owning light's area.
+    m = mt.archetype.shape[0]
+    emission_radiance = np.zeros((m, 3), np.float32)
+    light_area_by_mat = {}
+    for li in range(scene.lights.num_lights):
+        mid = int(scene.lights.material_id[li])
+        if mid >= 0:
+            light_area_by_mat[mid] = float(scene.lights.area[li])
+    for i in range(m):
+        if mt.emission_mode[i] == int(EmissionMode.RADIANT_EXITANCE):
+            emission_radiance[i] = mt.emission_intensity[i] / M_PI
+        elif mt.emission_mode[i] == int(EmissionMode.POWER):
+            area = light_area_by_mat.get(i, 1.0)
+            emission_radiance[i] = mt.emission_intensity[i] / (M_PI * max(area, 1e-9))
+
+    # Per-light emitted radiance for NEE sampling of mesh lights
+    lr = np.zeros((max(scene.lights.num_lights, 1), 3), np.float32)
+    for li in range(scene.lights.num_lights):
+        mid = int(scene.lights.material_id[li])
+        if mid >= 0:
+            lr[li] = emission_radiance[mid]
+
+    bvh = None
+    if use_bvh is None:
+        use_bvh = scene.num_triangles > 16384
+    if use_bvh and scene.num_triangles > 0:
+        from ..ops.bvh import build_bvh
+
+        bvh = {
+            k: jnp.asarray(v)
+            for k, v in build_bvh(scene.p0, scene.p1, scene.p2).items()
+        }
+
+    return DeviceScene(
+        tris=TriSoA.build(scene.p0, scene.p1, scene.p2),
+        n0=jnp.asarray(scene.n0),
+        n1=jnp.asarray(scene.n1),
+        n2=jnp.asarray(scene.n2),
+        tri_material=jnp.asarray(scene.material_id, jnp.int32),
+        tri_light=jnp.asarray(scene.light_id, jnp.int32),
+        mat_archetype=jnp.asarray(mt.archetype, jnp.int32),
+        mat_albedo=jnp.asarray(mt.albedo),
+        mat_roughness=jnp.asarray(mt.roughness),
+        mat_ior=jnp.asarray(mt.ior),
+        mat_thin_walled=jnp.asarray(mt.thin_walled, jnp.int32),
+        mat_emission_radiance=jnp.asarray(emission_radiance),
+        mat_sigma_a=jnp.asarray(mt.sigma_a),
+        mat_sigma_s=jnp.asarray(mt.sigma_s),
+        mat_volume_bias=jnp.asarray(mt.volume_bias),
+        lights=upload_lights(scene.lights, lr),
+        bvh=bvh,
+    )

@@ -85,16 +85,16 @@ def build_env_cdf(texture: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
     """Build (cdf_u [H, W+1], cdf_v [H+1], integral) for a lat-long env map.
 
     Mirrors ``Texture::calculateSphericalCDF`` (``Texture.cpp:1510-1602``):
-    Gaussian-filtered luminance weighted by sin(theta) row weight.
+    per-texel weight = Gaussian-filtered intensity ((r+g+b)/3) x sin(theta);
+    the MIS integral uses the *unfiltered* intensity (``Texture.cpp:1529-1536``).
     """
     h, w, _ = texture.shape
-    lum = (
-        0.299 * texture[..., 0] + 0.587 * texture[..., 1] + 0.114 * texture[..., 2]
-    )
-    lum = gaussian_filter_3x3(lum)
+    intensity = texture.mean(axis=-1)
+    filtered = gaussian_filter_3x3(intensity)
     # sin(theta) weight per row; v=0 row is the south pole
     theta = (np.arange(h) + 0.5) / h * np.pi
-    weighted = lum * np.sin(theta)[:, None]
+    sin_t = np.sin(theta)[:, None]
+    weighted = filtered * sin_t
 
     cdf_u = np.zeros((h, w + 1), dtype=np.float64)
     cdf_u[:, 1:] = np.cumsum(weighted, axis=1)
@@ -104,9 +104,40 @@ def build_env_cdf(texture: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
 
     cdf_v = np.zeros(h + 1, dtype=np.float64)
     cdf_v[1:] = np.cumsum(row_sums)
-    integral = cdf_v[-1] / (w * h) * (2.0 * np.pi * np.pi)
+    integral = float(np.sum(intensity * sin_t)) * 2.0 * np.pi * np.pi / (w * h)
     cdf_v /= max(cdf_v[-1], 1e-20)
     return cdf_u.astype(np.float32), cdf_v.astype(np.float32), float(max(integral, 1e-20))
+
+
+def build_alias_table(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Walker alias table -> (prob [N] f32, alias [N] i32).
+
+    O(1) discrete sampling on device: ``i = floor(u*N); take alias[i] if
+    frac >= prob[i]``. This replaces the reference's per-sample binary search
+    over CDFs (``light_sample.cu:74-80`` notes the memory-traffic problem) —
+    a gather of 2 values instead of log2(N) dependent loads, which is the
+    TPU-friendly (and GPU-friendlier) choice.
+    """
+    w = np.asarray(weights, np.float64).ravel()
+    n = w.size
+    if n == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32)
+    total = w.sum()
+    if total <= 0:
+        return np.full(n, 1.0, np.float32), np.arange(n, dtype=np.int32)
+    p = w * (n / total)
+    prob = np.ones(n, np.float64)
+    alias = np.arange(n, dtype=np.int32)
+    small = [i for i in range(n) if p[i] < 1.0]
+    large = [i for i in range(n) if p[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = p[l] - (1.0 - p[s])
+        (small if p[l] < 1.0 else large).append(l)
+    return prob.astype(np.float32), alias
 
 
 def build_mesh_light(

@@ -1,0 +1,165 @@
+"""Wavefront integrator tests on the reference Cornell scene (NO_CACHE mode
+is the unbiased oracle; training wavefront record semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nrc_tpu.config import FrameConfig, RenderMode
+from nrc_tpu.render.integrator import trace_wavefront
+from nrc_tpu.render.scene_device import upload_scene
+from nrc_tpu.scene.camera import generate_primary_rays
+from nrc_tpu.scene.scene_builder import load_scene
+from nrc_tpu.utils import rng as R
+
+REF = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    scene, system = load_scene(
+        f"{REF}/system_mdl_cornell.txt", f"{REF}/scene_mdl_cornell.txt"
+    )
+    dev = upload_scene(scene)
+    return scene, system, dev
+
+
+def gen_rays(scene, res, sample_idx=0, full_res=320):
+    p, u, v, w = scene.camera.frustum()
+    ys, xs = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
+    pix_idx = jnp.asarray((ys * res + xs).reshape(-1), jnp.uint32)
+    seeds = R.tea(pix_idx, jnp.uint32(sample_idx))
+    pix = jnp.asarray(
+        np.stack([xs, ys], -1).reshape(-1, 2) * (full_res / res), jnp.float32
+    )
+    seeds, jitter = R.rng2(seeds)
+    org, d = generate_primary_rays(
+        pix, jitter, (full_res, full_res),
+        jnp.asarray(p), jnp.asarray(u), jnp.asarray(v), jnp.asarray(w),
+    )
+    return org, d, seeds
+
+
+class TestNoCacheRender:
+    def test_cornell_image_statistics(self, cornell):
+        scene, system, dev = cornell
+        cfg = FrameConfig(
+            width=48, height=48, max_depth=4,
+            render_mode=RenderMode.NO_CACHE, train=False,
+            scene_epsilon=system.scene_epsilon,
+        )
+        res = 48
+
+        @jax.jit
+        def render(sample_idx):
+            org, d, seeds = gen_rays(scene, res, 0, 320)
+            seeds = R.tea(
+                jnp.arange(res * res, dtype=jnp.uint32), sample_idx.astype(jnp.uint32)
+            )
+            seeds, jitter = R.rng2(seeds)
+            out = trace_wavefront(dev, org, d, seeds, cfg, train=False)
+            return out.radiance
+
+        acc = np.zeros((res * res, 3), np.float64)
+        spp = 8
+        for i in range(spp):
+            acc += np.asarray(render(jnp.uint32(i)), np.float64)
+        img = (acc / spp).reshape(res, res, 3)
+
+        assert np.all(np.isfinite(img))
+        assert img.min() >= 0.0
+        # interior is lit: mean radiance clearly positive
+        assert img.mean() > 0.05, f"mean {img.mean()}"
+        # the ceiling light pane (radiance 100/pi ~ 31.8) should appear as the
+        # brightest region by far
+        assert img.max() > 10.0
+        # left wall red-ish, right wall green-ish: check channel asymmetry of
+        # the horizontal thirds (camera looks down -z; +x is image right)
+        # NOTE image x axis: ndc_x = +1 is right = world +x.
+        left = img[:, : res // 4].mean(axis=(0, 1))
+        right = img[:, -res // 4 :].mean(axis=(0, 1))
+        assert left[0] > left[1], f"left wall should be red-ish {left}"
+        assert right[1] > right[0], f"right wall should be green-ish {right}"
+
+    def test_deterministic(self, cornell):
+        scene, system, dev = cornell
+        cfg = FrameConfig(
+            width=16, height=16, max_depth=3,
+            render_mode=RenderMode.NO_CACHE, train=False,
+            scene_epsilon=system.scene_epsilon,
+        )
+        org, d, seeds = gen_rays(scene, 16)
+        a = trace_wavefront(dev, org, d, seeds, cfg, train=False)
+        b = trace_wavefront(dev, org, d, seeds, cfg, train=False)
+        np.testing.assert_array_equal(np.asarray(a.radiance), np.asarray(b.radiance))
+
+
+class TestTrainingWavefront:
+    def test_records_generated(self, cornell):
+        scene, system, dev = cornell
+        cfg = FrameConfig(
+            width=64, height=64, max_depth=5,
+            render_mode=RenderMode.FULL, train=True,
+            scene_epsilon=system.scene_epsilon,
+        )
+        n = 256  # training rays
+        org, d, seeds = gen_rays(scene, 16)  # 256 rays
+        unbiased = jnp.zeros((n,), bool)
+        out = trace_wavefront(dev, org, d, seeds, cfg, train=True, unbiased=unbiased)
+
+        counts = np.asarray(out.rec_count)
+        assert counts.max() > 0, "training rays must generate records"
+        assert counts.max() <= cfg.max_train_records_per_ray
+        # self-train terminations produce end queries with mask 1
+        masks = np.asarray(out.end_mask)
+        assert set(np.unique(masks)).issubset({0.0, 1.0})
+        assert masks.sum() > 0, "some suffixes should end by self-training"
+        # records have NEE targets accumulated somewhere
+        targets = np.asarray(out.rec_target)
+        assert np.all(np.isfinite(targets))
+        assert targets.max() > 0.0, "NEE/emission should hit some targets"
+        # local throughputs are bounded (diffuse albedo <= 1)
+        ltp = np.asarray(out.rec_ltp)
+        assert np.all(np.isfinite(ltp))
+        valid_slots = np.arange(cfg.max_train_records_per_ray)[None, :] < counts[:, None]
+        assert ltp[valid_slots].max() <= 1.0 + 1e-4
+
+    def test_unbiased_rays_no_selftrain(self, cornell):
+        scene, system, dev = cornell
+        cfg = FrameConfig(
+            width=64, height=64, max_depth=5,
+            render_mode=RenderMode.FULL, train=True,
+            scene_epsilon=system.scene_epsilon,
+        )
+        org, d, seeds = gen_rays(scene, 16)
+        unbiased = jnp.ones((256,), bool)
+        out = trace_wavefront(dev, org, d, seeds, cfg, train=True, unbiased=unbiased)
+        # fully unbiased training rays never terminate by self-training,
+        # except via record overflow (buffer-full protocol)
+        counts = np.asarray(out.rec_count)
+        masks = np.asarray(out.end_mask)
+        overflow = counts >= cfg.max_train_records_per_ray
+        assert np.all(masks[~overflow] == 0.0)
+
+
+class TestRenderQueries:
+    def test_full_mode_queries(self, cornell):
+        scene, system, dev = cornell
+        cfg = FrameConfig(
+            width=32, height=32, max_depth=5,
+            render_mode=RenderMode.FULL, train=False,
+            scene_epsilon=system.scene_epsilon,
+        )
+        org, d, seeds = gen_rays(scene, 32)
+        out = trace_wavefront(dev, org, d, seeds, cfg, train=False)
+        lrt = np.asarray(out.last_render_throughput)
+        q = np.asarray(out.render_query)
+        assert np.all(np.isfinite(q))
+        # a good fraction of paths truncate into the cache with throughput > 0
+        has_tp = lrt.max(axis=-1) > 0
+        assert has_tp.mean() > 0.3
+        # those queries carry plausible normalized positions (0.005 * [-10,10])
+        pos = q[has_tp][:, :3]
+        assert np.abs(pos).max() <= 0.1 + 1e-5
+        assert np.abs(pos).max() > 0.0
