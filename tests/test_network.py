@@ -1,0 +1,138 @@
+"""NRC network tests: encodings, MLP shapes, optimizer convergence on a toy
+radiance field, EMA semantics, hash-grid path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nrc_tpu.config import InputEncoding, NetworkConfig
+from nrc_tpu.models import network as N
+from nrc_tpu.ops import encodings as E
+
+
+def make_queries(key, n):
+    """Random plausible radiance queries [n, 15]."""
+    ks = jax.random.split(key, 6)
+    pos = jax.random.uniform(ks[0], (n, 3), minval=-0.05, maxval=0.05)
+    theta = jax.random.uniform(ks[1], (n, 2), minval=0.0, maxval=np.pi)
+    phi = jax.random.uniform(ks[2], (n, 2), minval=-np.pi, maxval=np.pi)
+    rough = jax.random.uniform(ks[3], (n, 2))
+    diff = jax.random.uniform(ks[4], (n, 3))
+    spec = jax.random.uniform(ks[5], (n, 3))
+    return jnp.concatenate(
+        [pos, theta[:, :1], phi[:, :1], theta[:, 1:], phi[:, 1:], rough, diff, spec],
+        axis=-1,
+    )
+
+
+class TestEncodings:
+    def test_frequency_dims(self):
+        cfg = NetworkConfig()
+        q = make_queries(jax.random.PRNGKey(0), 32)
+        enc = E.encode_frequency(q, cfg)
+        assert enc.shape == (32, 66)
+        assert E.frequency_encoded_dims(cfg) == 66
+        assert np.all(np.isfinite(np.asarray(enc)))
+
+    def test_triangle_wave_periodic(self):
+        x = jnp.asarray([[0.0], [1.0], [0.25], [0.75]])
+        tw = E.triangle_wave(x, 1)
+        # period-1 triangle: tri(0) == tri(1), tri(0.25) == tri(0.75)
+        np.testing.assert_allclose(float(tw[0, 0]), float(tw[1, 0]), atol=1e-6)
+        np.testing.assert_allclose(float(tw[2, 0]), float(tw[3, 0]), atol=1e-6)
+        assert float(tw[2, 0]) != float(tw[0, 0])
+
+    def test_oneblob_peak(self):
+        x = jnp.asarray([[0.125]])  # center of bin 0 (4 bins)
+        blob = np.asarray(E.one_blob(x, 4))[0]
+        assert blob.argmax() == 0
+        assert blob[0] == pytest.approx(1.0, abs=1e-6)
+
+    def test_hash_dims_and_grad(self):
+        cfg = NetworkConfig(encoding=InputEncoding.HASH)
+        grid = E.init_hash_grid(jax.random.PRNGKey(1), cfg)
+        assert grid.table.shape == (16, 2 ** 15, 2)
+        q = make_queries(jax.random.PRNGKey(2), 16)
+        enc = E.encode_hash(q, grid, cfg)
+        assert enc.shape == (16, E.hash_encoded_dims(cfg))
+        # gradient flows to the tables
+        g = jax.grad(lambda t: jnp.sum(E.encode_hash(q, E.HashGridParams(t), cfg) ** 2))(
+            grid.table
+        )
+        assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+
+class TestNetwork:
+    def test_init_shapes(self):
+        cfg = NetworkConfig()
+        st = N.init_network(jax.random.PRNGKey(0), cfg)
+        assert st.params.w_in.shape == (128, 64)
+        assert st.params.w_hidden.shape == (4, 64, 64)
+        assert st.params.w_out.shape == (64, 16)
+        # unused input rows are zero (padding beyond 66+1)
+        assert np.all(np.asarray(st.params.w_in[68:]) == 0.0)
+
+    def test_infer_shape_nonnegative(self):
+        cfg = NetworkConfig()
+        st = N.init_network(jax.random.PRNGKey(0), cfg)
+        q = make_queries(jax.random.PRNGKey(1), 256)
+        out = N.infer(st, q, cfg)
+        assert out.shape == (256, 3)
+        assert np.all(np.asarray(out) >= 0.0)  # output ReLU
+
+    def test_loss_decreases_frequency(self):
+        cfg = NetworkConfig()
+        st = N.init_network(jax.random.PRNGKey(0), cfg)
+        q = make_queries(jax.random.PRNGKey(1), 2048)
+        # toy radiance: smooth positive function of the query
+        target = jnp.stack(
+            [
+                1.0 + jnp.sin(q[:, 0] * 50) ** 2,
+                0.5 + q[:, 9],
+                jnp.exp(-q[:, 3]),
+            ],
+            axis=-1,
+        )
+        step = jax.jit(lambda s: N.train_step(s, q, target, cfg))
+        losses = []
+        for _ in range(60):
+            st, loss = step(st)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.35, f"{losses[0]} -> {losses[-1]}"
+        assert np.isfinite(losses).all()
+
+    def test_loss_decreases_hash(self):
+        cfg = NetworkConfig(encoding=InputEncoding.HASH)
+        assert cfg.adam_eps == 1e-15
+        st = N.init_network(jax.random.PRNGKey(0), cfg)
+        q = make_queries(jax.random.PRNGKey(1), 2048)
+        target = jnp.stack(
+            [1.0 + jnp.sin(q[:, 0] * 80) ** 2, 0.3 + 0.0 * q[:, 0], q[:, 12]],
+            axis=-1,
+        )
+        step = jax.jit(lambda s: N.train_step(s, q, target, cfg))
+        losses = []
+        for _ in range(40):
+            st, loss = step(st)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.5, f"{losses[0]} -> {losses[-1]}"
+
+    def test_ema_lags_params(self):
+        cfg = NetworkConfig()
+        st = N.init_network(jax.random.PRNGKey(0), cfg)
+        q = make_queries(jax.random.PRNGKey(1), 512)
+        target = jnp.ones((512, 3))
+        st2, _ = N.train_step(st, q, target, cfg)
+        # params moved, ema moved 100x less (decay 0.99)
+        dp = float(jnp.mean(jnp.abs(st2.params.w_in - st.params.w_in)))
+        de = float(jnp.mean(jnp.abs(st2.ema.w_in - st.ema.w_in)))
+        assert dp > 0
+        assert de == pytest.approx(dp * 0.01, rel=1e-3)
+
+    def test_relative_l2_luminance(self):
+        pred = jnp.asarray([[1.0, 1.0, 1.0]])
+        target = jnp.asarray([[0.0, 0.0, 0.0]])
+        # lum(pred) = 1 -> denom = 1.01
+        loss = float(N.relative_l2_luminance(pred, target))
+        assert loss == pytest.approx(1.0 / 1.01, rel=1e-5)
