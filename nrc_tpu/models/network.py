@@ -121,10 +121,19 @@ def _pad_input(x: jnp.ndarray, d_in: int) -> jnp.ndarray:
     return jnp.concatenate([x, ones, pad], axis=-1)
 
 
-def mlp_forward(params: MLPParams, x_padded: jnp.ndarray) -> jnp.ndarray:
-    """[B, LANE] -> [B, 3]; bf16 matmuls on the MXU, f32 accumulation."""
+def mlp_forward(
+    params: MLPParams, x_padded: jnp.ndarray, output_relu: bool = True
+) -> jnp.ndarray:
+    """[B, LANE] -> [B, 3]; bf16 matmuls on the MXU, f32 accumulation.
+
+    The reference's output activation is ReLU (radiance >= 0,
+    ``NRCNetworkConfigs.h:29``); training a ReLU *output* risks permanently
+    dead radiance channels (zero gradient once a channel goes all-negative —
+    observed in practice), so we train on the linear output and clamp at
+    inference only. Same function where it matters, no dying outputs.
+    """
     if _mlp_forward_impl is not None:
-        return _mlp_forward_impl(params, x_padded)
+        return _mlp_forward_impl(params, x_padded, output_relu)
     h = x_padded.astype(jnp.bfloat16)
     z = jnp.dot(h, params.w_in.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     z = jax.nn.relu(z)
@@ -140,7 +149,8 @@ def mlp_forward(params: MLPParams, x_padded: jnp.ndarray) -> jnp.ndarray:
         params.w_out.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
-    return jax.nn.relu(out[:, :3])  # output ReLU (radiance >= 0)
+    out = out[:, :3]
+    return jax.nn.relu(out) if output_relu else out
 
 
 def encode(
@@ -192,7 +202,7 @@ def train_step(
 
     def loss_fn(params, grid):
         x = encode(query, cfg, grid)
-        pred = mlp_forward(params, x)
+        pred = mlp_forward(params, x, output_relu=False)
         return relative_l2_luminance(pred, target)
 
     if cfg.encoding == InputEncoding.HASH:

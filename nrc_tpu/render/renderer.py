@@ -1,0 +1,190 @@
+"""Host-side renderer orchestration: accumulation, adaptation, screenshots.
+
+Plays the role of ``Application::render/benchmark`` + ``Raytracer::render``
+(``nrc/src/Application.cpp:417-540``, ``Raytracer.cpp:696-720``): drives the
+jitted frame program, restarts accumulation on state changes, adapts the
+training tile size between frames (quantized, so the jit cache stays small),
+and writes tonemapped PNG / linear HDR screenshots
+(``Application::screenshot``, ``Application.cpp:2562-2673``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    FrameConfig,
+    NetworkConfig,
+    NRCHyperParams,
+    RenderMode,
+    SystemConfig,
+    adjust_tile_size,
+)
+from ..models import network as N
+from ..scene.scene_builder import Scene
+from ..utils.image_io import write_hdr, write_png
+from ..utils.tonemap import tonemap_to_u8
+from .frame import CameraArrays, frame_step
+from .scene_device import DeviceScene, upload_scene
+
+
+class Renderer:
+    """Single-accelerator renderer (multi-chip variant in ``parallel/``)."""
+
+    def __init__(
+        self,
+        scene: Scene,
+        system: SystemConfig,
+        net_cfg: Optional[NetworkConfig] = None,
+        render_mode: RenderMode = RenderMode.FULL,
+        train: bool = True,
+        adaptive_tiles: bool = True,
+        position_scale: Optional[float] = None,
+        seed: int = 0,
+    ):
+        self.scene = scene
+        self.system = system
+        self.net_cfg = net_cfg or NetworkConfig()
+        self.hyper = NRCHyperParams(learning_rate=self.net_cfg.learning_rate)
+        self.device_scene: DeviceScene = upload_scene(scene)
+        self.adaptive_tiles = adaptive_tiles
+
+        if position_scale is None:
+            # per-scene normalization (the reference hardcodes 0.005 for
+            # Cornell, hit.cu:595-597; we derive it from the scene AABB)
+            lo, hi = scene.aabb()
+            extent = float(np.max(hi - lo)) if lo.size else 1.0
+            position_scale = 0.1 / max(extent, 1e-6)
+
+        w, h = system.resolution
+        self.cfg = FrameConfig(
+            width=w,
+            height=h,
+            tile_size=system.tile_size,
+            max_depth=system.path_lengths[1],
+            min_depth_rr=system.path_lengths[0],
+            render_mode=render_mode,
+            train=train,
+            lens_shader=scene.lens_shader,
+            scene_epsilon=system.scene_epsilon,
+            walk_length=system.walk_length,
+            position_scale=position_scale,
+        )
+
+        self.net_state = N.init_network(jax.random.PRNGKey(seed), self.net_cfg)
+        self.image = jnp.zeros((w * h, 3), jnp.float32)
+        self.iteration = 0
+        self.total_subframe = 0
+        self.last_stats = None
+        self._step_cache = {}
+
+    # -- state management --------------------------------------------------
+
+    def restart_accumulation(self) -> None:
+        """Camera/material change restarts progressive accumulation
+        (``Application::restartRendering``)."""
+        self.iteration = 0
+        self.image = jnp.zeros_like(self.image)
+
+    def reset_cache(self, seed: int = 0) -> None:
+        """Re-create the network (GUI 'reset cache' -> ``Device.cpp:2415-2421``)."""
+        self.net_state = N.init_network(jax.random.PRNGKey(seed), self.net_cfg)
+
+    def set_render_mode(self, mode: RenderMode) -> None:
+        self.cfg = dataclasses.replace(self.cfg, render_mode=mode)
+        self.restart_accumulation()
+
+    def _camera_arrays(self) -> CameraArrays:
+        p, u, v, w = self.scene.camera.frustum()
+        return CameraArrays(
+            p=jnp.asarray(p), u=jnp.asarray(u), v=jnp.asarray(v), w=jnp.asarray(w)
+        )
+
+    def _compiled_step(self, cfg: FrameConfig):
+        key = (cfg.tile_size, cfg.render_mode, cfg.train)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                functools.partial(
+                    frame_step,
+                    cfg=cfg,
+                    net_cfg=self.net_cfg,
+                    train_unbiased_ratio=self.hyper.train_unbiased_ratio,
+                )
+            )
+        return self._step_cache[key]
+
+    # -- frame loop --------------------------------------------------------
+
+    def render_frame(self):
+        """One subframe (1 spp accumulated)."""
+        step = self._compiled_step(self.cfg)
+        self.image, self.net_state, stats = step(
+            self.device_scene,
+            self.net_state,
+            self.image,
+            self._camera_arrays(),
+            jnp.int32(self.iteration),
+            jnp.uint32(self.total_subframe),
+        )
+        self.iteration += 1
+        self.total_subframe += 1
+        self.last_stats = stats
+        if self.adaptive_tiles and self.cfg.train:
+            n = int(stats.num_train_records)
+            new_ts = adjust_tile_size(self.cfg.tile_size, n)
+            if new_ts != self.cfg.tile_size:
+                self.cfg = dataclasses.replace(self.cfg, tile_size=new_ts)
+        return stats
+
+    def render(self, spp: int):
+        for _ in range(spp):
+            stats = self.render_frame()
+        jax.block_until_ready(self.image)
+        return stats
+
+    def benchmark(self, spp: int):
+        """Timed loop (``Application::benchmark``, Application.cpp:496-540)."""
+        # warmup/compile
+        self.render_frame()
+        self.restart_accumulation()
+        jax.block_until_ready(self.image)
+        t0 = time.perf_counter()
+        for _ in range(spp):
+            self.render_frame()
+        jax.block_until_ready(self.image)
+        dt = time.perf_counter() - t0
+        return {
+            "spp": spp,
+            "seconds": dt,
+            "fps": spp / dt,
+            "mrays_per_s": self.cfg.num_pixels * spp * (self.cfg.max_depth + 1) / dt / 1e6,
+            "loss": float(self.last_stats.loss) if self.last_stats else 0.0,
+        }
+
+    # -- output ------------------------------------------------------------
+
+    def image_hdr(self) -> np.ndarray:
+        """[H, W, 3] linear HDR, row 0 at the top (display orientation)."""
+        img = np.asarray(self.image).reshape(self.cfg.height, self.cfg.width, 3)
+        return img[::-1]
+
+    def screenshot(self, path: str, tonemap: bool = True) -> str:
+        if tonemap:
+            ldr = np.asarray(
+                tonemap_to_u8(jnp.asarray(self.image_hdr()), self.system.tonemapper)
+            )
+            if not path.endswith(".png"):
+                path += ".png"
+            write_png(path, ldr)
+        else:
+            if not path.endswith(".hdr"):
+                path += ".hdr"
+            write_hdr(path, self.image_hdr())
+        return path
