@@ -1,0 +1,101 @@
+"""Benchmark: Cornell NRC frame loop on one chip -> one JSON line.
+
+Mirrors the reference's benchmark mode (``Application::benchmark``,
+``nrc/src/Application.cpp:496-540``: async frame loop, sync, fps print) on
+the Cornell scene at its shipped 320x320 resolution, FULL render mode with
+online training enabled — the complete per-frame NRC pipeline (render +
+train wavefronts, cache inference, propagation, shuffle, 4 Adam steps).
+
+Prints exactly one JSON line:
+  {"metric": "mrays_per_s", "value": N, "unit": "Mrays/s", "vs_baseline": R}
+
+The reference publishes no benchmark numbers (BASELINE.md); vs_baseline is
+measured against a recorded first-run value in bench_baseline.json when
+present, else 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nrc_tpu.config import RenderMode
+    from nrc_tpu.render.renderer import Renderer
+    from nrc_tpu.scene.scene_builder import load_scene
+
+    scene, system = load_scene(
+        "/root/reference/data/system_mdl_cornell.txt",
+        "/root/reference/data/scene_mdl_cornell.txt",
+    )
+    # reference-shipped Cornell config: 320x320, pathLengths 2..6
+    system.tile_size = (4, 4)  # steady-state adapted size (~80% record fill)
+    r = Renderer(
+        scene,
+        system,
+        render_mode=RenderMode.FULL,
+        train=True,
+        adaptive_tiles=False,
+    )
+    dev = jax.devices()[0]
+    log(f"bench device: {dev.platform} {dev.device_kind}")
+
+    # warmup: compile + a few steady-state frames
+    for _ in range(3):
+        r.render_frame()
+    jax.block_until_ready(r.image)
+
+    spp = int(os.environ.get("BENCH_SPP", "32"))
+    t0 = time.perf_counter()
+    for _ in range(spp):
+        r.render_frame()
+    jax.block_until_ready(r.image)
+    jax.block_until_ready(r.net_state.params.w_in)
+    dt = time.perf_counter() - t0
+
+    fps = spp / dt
+    n_pixels = r.cfg.num_pixels
+    # closest-hit traversals per frame: render wavefront (max_depth+1 bounces)
+    # + NEE shadow rays (1/bounce) + training wavefront (#tiles rays)
+    n_tiles = r.cfg.num_tiles
+    segs = r.cfg.max_depth + 1
+    rays_per_frame = (n_pixels + n_tiles) * segs * 2  # closest + shadow
+    mrays = rays_per_frame * fps / 1e6
+
+    log(
+        f"{spp} spp in {dt:.3f}s -> {fps:.2f} fps, {mrays:.2f} Mrays/s, "
+        f"loss {float(r.last_stats.loss):.4f}, "
+        f"records {int(r.last_stats.num_train_records)}"
+    )
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    vs = 1.0
+    if os.path.isfile(baseline_path):
+        try:
+            with open(baseline_path) as f:
+                vs = mrays / float(json.load(f)["mrays_per_s"])
+        except Exception:
+            vs = 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "mrays_per_s",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

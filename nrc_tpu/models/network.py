@@ -191,11 +191,14 @@ def train_step(
     cfg: NetworkConfig,
     learning_rate: Optional[jnp.ndarray] = None,
     grad_reduce=None,
+    loss_scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[NetworkState, jnp.ndarray]:
     """One SGD step (= one ``trainer->training_step``, NRCNetwork.cu:41-59).
 
     ``grad_reduce``: optional callable applied to the grad pytree (e.g.
     ``lambda g: jax.lax.pmean(g, 'data')`` for data-parallel training).
+    ``loss_scale``: multiplier on the loss (0 drops this shard's gradient —
+    used when a chip's tile shard produced no records this frame).
     Returns (new_state, loss).
     """
     lr = cfg.learning_rate if learning_rate is None else learning_rate
@@ -203,7 +206,10 @@ def train_step(
     def loss_fn(params, grid):
         x = encode(query, cfg, grid)
         pred = mlp_forward(params, x, output_relu=False)
-        return relative_l2_luminance(pred, target)
+        loss = relative_l2_luminance(pred, target)
+        if loss_scale is not None:
+            loss = loss * loss_scale
+        return loss
 
     if cfg.encoding == InputEncoding.HASH:
         loss, (g_params, g_grid) = jax.value_and_grad(loss_fn, argnums=(0, 1))(

@@ -59,25 +59,33 @@ class CameraArrays(NamedTuple):
     w: jnp.ndarray
 
 
-def _pixel_grid(cfg: FrameConfig):
+def _pixel_grid(cfg: FrameConfig, rows: Optional[int] = None, row_offset=0):
+    """Pixel coords + linear indices for ``rows`` image rows starting at
+    ``row_offset`` (traced). Sharding the frame over rows (P1 pixel-space
+    data parallelism) just offsets this grid per chip, so per-pixel RNG
+    streams match the single-chip program exactly."""
     import numpy as np
 
-    ys, xs = np.meshgrid(np.arange(cfg.height), np.arange(cfg.width), indexing="ij")
+    rows = cfg.height if rows is None else rows
+    ys, xs = np.meshgrid(np.arange(rows), np.arange(cfg.width), indexing="ij")
+    ys = jnp.asarray(ys.reshape(-1), jnp.int32) + row_offset
+    xs = jnp.asarray(xs.reshape(-1), jnp.int32)
     return (
-        jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2), jnp.float32),
-        jnp.asarray((ys * cfg.width + xs).reshape(-1), jnp.uint32),
+        jnp.stack([xs, ys], -1).astype(jnp.float32),
+        (ys * cfg.width + xs).astype(jnp.uint32),
     )
 
 
-def _tile_origins(cfg: FrameConfig):
+def _tile_origins(cfg: FrameConfig, tile_rows: Optional[int] = None, row_offset=0):
     import numpy as np
 
     tsx, tsy = cfg.tile_size
     ntx, nty = cfg.num_tiles_xy
+    nty = nty if tile_rows is None else tile_rows
     ty, tx = np.meshgrid(np.arange(nty), np.arange(ntx), indexing="ij")
     return (
         jnp.asarray(tx.reshape(-1) * tsx, jnp.int32),
-        jnp.asarray(ty.reshape(-1) * tsy, jnp.int32),
+        jnp.asarray(ty.reshape(-1) * tsy, jnp.int32) + row_offset,
     )
 
 
@@ -145,10 +153,22 @@ def frame_step(
     learning_rate: Optional[jnp.ndarray] = None,
     train_unbiased_ratio: float = 1.0 / 16.0,
     grad_reduce=None,
+    count_reduce=None,
+    shard_rows: Optional[int] = None,
+    row_offset=0,
 ) -> Tuple[jnp.ndarray, N.NetworkState, FrameStats]:
-    """One full frame. Returns (image', net_state', stats)."""
-    n_pixels = cfg.num_pixels
-    n_tiles = cfg.num_tiles
+    """One full frame. Returns (image', net_state', stats).
+
+    With ``shard_rows``/``row_offset`` the step renders only that horizontal
+    band — the shard_map body for pixel-space data parallelism (SURVEY P1);
+    ``image`` is then the band's slice and ``grad_reduce`` should psum/pmean
+    over the data axis (P5 replicated training).
+    """
+    rows = cfg.height if shard_rows is None else shard_rows
+    n_pixels = cfg.width * rows
+    tsy = cfg.tile_size[1]
+    tile_rows = rows // tsy
+    n_tiles = cfg.num_tiles_xy[0] * tile_rows
     screen = (cfg.width, cfg.height)
 
     # ---- per-frame randomness (host rand() in the reference,
@@ -161,7 +181,7 @@ def frame_step(
     )
 
     # ---- render wavefront (all pixels) ----------------------------------
-    pix, pidx = _pixel_grid(cfg)
+    pix, pidx = _pixel_grid(cfg, rows, row_offset)
     seeds = R.tea(pidx, total_subframe)
     seeds, jitter = R.rng2(seeds)
     org, dirn = generate_primary_rays(
@@ -172,7 +192,7 @@ def frame_step(
 
     # ---- training wavefront (one ray per tile, raygeneration.cu:123-136) -
     if cfg.train:
-        tile_x0, tile_y0 = _tile_origins(cfg)
+        tile_x0, tile_y0 = _tile_origins(cfg, tile_rows, row_offset)
         lx = tile_training_index % tsx
         ly = tile_training_index // tsx
         tpx = tile_x0 + lx
@@ -262,6 +282,7 @@ def frame_step(
                 ns2, loss = N.train_step(
                     ns, bq, bt, net_cfg,
                     learning_rate=learning_rate, grad_reduce=grad_reduce,
+                    loss_scale=(num_records > 0).astype(jnp.float32),
                 )
                 return (ns2, loss), loss
 
@@ -273,8 +294,13 @@ def frame_step(
         def skip_train(ns):
             return ns, jnp.float32(0.0)
 
+        # The branch predicate must agree across shards: the train branch
+        # contains gradient collectives, and a per-shard cond would diverge.
+        global_records = (
+            count_reduce(num_records) if count_reduce is not None else num_records
+        )
         net_state, loss = jax.lax.cond(
-            num_records > 0, do_train, skip_train, net_state
+            global_records > 0, do_train, skip_train, net_state
         )
     else:
         loss = jnp.float32(0.0)
