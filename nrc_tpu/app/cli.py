@@ -1,0 +1,134 @@
+"""Command-line application: the reference's app shell without the GUI.
+
+Option parity with ``nrc/src/Options.cpp:45-157``:
+  -w/--width, -h/--height  override render resolution
+  -m/--mode 0|1            0 = progressive render loop, 1 = benchmark
+  -s/--system              system description file
+  -d/--scene               scene description file
+  -o/--optimize            accepted (graph optimization is automatic here)
+
+plus TPU-native extensions: --spp, --render-mode, --encoding, --devices
+(multi-chip), --checkpoint/--resume, --stats-log.
+
+Usage:
+  python -m nrc_tpu.app.cli -s data/system.txt -d data/scene.txt -m 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from ..config import InputEncoding, NetworkConfig, RenderMode
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nrc_tpu", add_help=False,
+        description="TPU-native neural radiance caching renderer",
+    )
+    p.add_argument("--help", action="help")
+    p.add_argument("-w", "--width", type=int, default=None)
+    p.add_argument("-h", "--height", type=int, default=None)
+    p.add_argument("-m", "--mode", type=int, default=0, choices=(0, 1))
+    p.add_argument("-s", "--system", required=True)
+    p.add_argument("-d", "--scene", required=True)
+    p.add_argument("-o", "--optimize", action="store_true")
+    p.add_argument("--spp", type=int, default=None,
+                   help="total samples (default samplesSqrt^2 from system file)")
+    p.add_argument("--render-mode", default="full",
+                   choices=[m.name.lower() for m in RenderMode])
+    p.add_argument("--encoding", default="frequency", choices=("frequency", "hash"))
+    p.add_argument("--no-train", action="store_true")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the frame over N chips (shard_map data mesh)")
+    p.add_argument("--checkpoint", default=None,
+                   help="save network weights here when done")
+    p.add_argument("--resume", default=None, help="load network weights first")
+    p.add_argument("--output", default=None, help="screenshot path prefix")
+    p.add_argument("--hdr", action="store_true", help="also write linear .hdr")
+    p.add_argument("--stats-log", default=None,
+                   help="write per-frame JSONL stats (loss, records, tile size)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ..render.renderer import Renderer
+    from ..scene.scene_builder import load_scene
+
+    scene, system = load_scene(args.system, args.scene)
+    if args.width:
+        system.resolution = (args.width, system.resolution[1])
+    if args.height:
+        system.resolution = (system.resolution[0], args.height)
+    scene.camera.aspect = system.resolution[0] / max(system.resolution[1], 1)
+
+    render_mode = RenderMode[args.render_mode.upper()]
+    net_cfg = NetworkConfig(
+        encoding=InputEncoding.HASH if args.encoding == "hash" else InputEncoding.FREQUENCY
+    )
+    r = Renderer(
+        scene, system, net_cfg=net_cfg, render_mode=render_mode,
+        train=not args.no_train,
+    )
+    driver = r
+    if args.devices > 1:
+        from ..parallel.shard import ParallelRenderer, make_mesh
+
+        driver = ParallelRenderer(r, make_mesh(args.devices))
+
+    if args.resume:
+        from ..models.checkpoint import load_checkpoint
+
+        r.net_state = load_checkpoint(args.resume, r.net_cfg)
+        print(f"resumed network from {args.resume}")
+
+    spp = args.spp if args.spp is not None else system.samples_sqrt ** 2
+    stats_f = open(args.stats_log, "w") if args.stats_log else None
+
+    t0 = time.perf_counter()
+    for i in range(spp):
+        stats = driver.render_frame()
+        if stats_f is not None:
+            stats_f.write(
+                json.dumps(
+                    {
+                        "frame": i,
+                        "loss": float(stats.loss),
+                        "num_train_records": int(stats.num_train_records),
+                        "tile_size": list(r.cfg.tile_size),
+                    }
+                )
+                + "\n"
+            )
+        if args.mode == 0 and (i + 1) % 16 == 0:
+            el = time.perf_counter() - t0
+            print(f"[{i + 1}/{spp}] {(i + 1) / el:.2f} fps, loss {float(stats.loss):.4f}")
+    import jax
+
+    jax.block_until_ready(r.image)
+    dt = time.perf_counter() - t0
+    print(f"{spp} spp in {dt:.2f}s -> {spp / dt:.2f} fps")
+    if stats_f is not None:
+        stats_f.close()
+
+    prefix = args.output or system.prefix_screenshot
+    path = r.screenshot(prefix + f"_{spp}spp", tonemap=True)
+    print(path)
+    if args.hdr:
+        print(r.screenshot(prefix + f"_{spp}spp", tonemap=False))
+
+    if args.checkpoint:
+        from ..models.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint, r.net_state)
+        print(f"saved network to {args.checkpoint}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

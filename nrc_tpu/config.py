@@ -180,6 +180,10 @@ class FrameConfig:
     scene_epsilon: float = 1e-4
     walk_length: int = 2
     direct_lighting: bool = True
+    # Static branch switch: volume transport compiles into the wavefront only
+    # when some material declares volume coefficients (set from the host-side
+    # material table at scene build).
+    has_volumes: bool = False
     # Per-scene position normalization applied to radiance-query positions.
     # The reference hardcodes 0.005 for Cornell (``hit.cu:595-597``).
     position_scale: float = 0.005

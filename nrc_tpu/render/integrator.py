@@ -100,6 +100,10 @@ class _State(NamedTuple):
     full: jnp.ndarray           # per-tile record slots exhausted
     rec_count: jnp.ndarray
     ior_stack: jnp.ndarray      # [N, 4] nested-medium IORs (per_ray_data.h:81)
+    sigma_a_stack: jnp.ndarray  # [N, 4, 3] absorption per stack level
+    sigma_s_stack: jnp.ndarray  # [N, 4, 3] scattering per stack level
+    bias_stack: jnp.ndarray     # [N, 4] HG anisotropy per level
+    walk: jnp.ndarray           # [N] volume random-walk steps taken
     stack_idx: jnp.ndarray      # [N]
     last_render_throughput: jnp.ndarray
     render_query: jnp.ndarray
@@ -136,6 +140,11 @@ def trace_wavefront(
 
     sqrt_c = NRCHyperParams().area_spread_factor_sqrt  # sqrt(c), c = 0.01
 
+    # Volume transport compiles in only when some material declares volume
+    # coefficients (homogeneous media; raygeneration.cu:184-213, miss.cu:62-79).
+    # Static: set from the host material table at scene build (FrameConfig).
+    has_volumes = cfg.has_volumes
+
     def zero3():
         return jnp.zeros((n, 3), jnp.float32)
 
@@ -158,6 +167,10 @@ def trace_wavefront(
         full=jnp.zeros((n,), bool),
         rec_count=jnp.zeros((n,), jnp.int32),
         ior_stack=jnp.ones((n, 4), jnp.float32),
+        sigma_a_stack=jnp.zeros((n, 4, 3), jnp.float32),
+        sigma_s_stack=jnp.zeros((n, 4, 3), jnp.float32),
+        bias_stack=jnp.zeros((n, 4), jnp.float32),
+        walk=jnp.zeros((n,), jnp.int32),
         stack_idx=jnp.zeros((n,), jnp.int32),
         last_render_throughput=zero3(),
         render_query=jnp.zeros((n, QUERY_DIMS), jnp.float32),
@@ -191,6 +204,38 @@ def trace_wavefront(
         tmin = jnp.where(s.hit_before, eps, 0.0)
         # inactive lanes trace a degenerate ray (t range empty)
         tmax = jnp.where(active, RT_MAX, 0.0)
+        seed = s.seed
+
+        # ---- volume random walk: sample scatter distance ---------------
+        # (raygeneration.cu:184-213: inside a scattering medium, cap tmax by
+        # a channel-importance-sampled free-flight distance)
+        in_walk = jnp.zeros((n,), bool)
+        if has_volumes:
+            top_sa = s.sigma_a_stack[rows, s.stack_idx]
+            top_ss = s.sigma_s_stack[rows, s.stack_idx]
+            sigma_t = top_sa + top_ss
+            scattering = (s.stack_idx > 0) & (jnp.max(top_ss, axis=-1) > 0.0)
+            in_walk = scattering & active
+            can_step = in_walk & (s.walk < cfg.walk_length)
+            seed, xi_w = R.rng2(seed)
+            albedo = safe_div(top_ss, sigma_t)
+            wgt = s.throughput * albedo
+            wsum = jnp.sum(wgt, axis=-1)
+            pdf_volume = jnp.where(
+                (wsum > 0.0)[..., None], wgt / jnp.maximum(wsum, 1e-20)[..., None],
+                jnp.full_like(wgt, 1.0 / 3.0),
+            )
+            cdf0 = pdf_volume[:, 0]
+            cdf1 = cdf0 + pdf_volume[:, 1]
+            s_chan = jnp.where(
+                xi_w[:, 0] < cdf0, sigma_t[:, 0],
+                jnp.where(xi_w[:, 0] < cdf1, sigma_t[:, 1], sigma_t[:, 2]),
+            )
+            dist_sample = -jnp.log(jnp.maximum(1.0 - xi_w[:, 1], 1e-12)) / jnp.maximum(
+                s_chan, 1e-12
+            )
+            tmax = jnp.where(can_step, jnp.minimum(tmax, dist_sample), tmax)
+
         hit = closest_hit(s.pos, s.wi, tmin, tmax)
         hit_valid = hit.valid & active
 
@@ -219,8 +264,77 @@ def trace_wavefront(
 
         prev_non_dirac = (s.event & B.BSDF_EVENT_NON_DIRAC) != 0
 
+        # ---- volume interactions ---------------------------------------
+        throughput0 = s.throughput
+        walk = s.walk
+        pos_volume = s.pos
+        wi_volume = s.wi
+        hit_before = s.hit_before
+        scatter_miss = jnp.zeros((n,), bool)
+        if has_volumes:
+            # transmittance along the segment inside a medium (hit.cu:688-697).
+            # When free-flight distance sampling is active, a surface hit at t
+            # already implies survival of the sampled distance — probability
+            # P(d>t) = sum_c p_c exp(-sigma_tc t) — so the estimator weight is
+            # trans/P(d>t) (the reference multiplies bare trans at hit.cu:692,
+            # double-attenuating scattering media; we use the unbiased weight,
+            # which reduces to the reference's for absorption-only media).
+            in_medium = (s.stack_idx > 0) & hit_valid
+            trans_hit = jnp.exp(-sigma_t * hit.t[..., None])
+            p_surv = jnp.sum(pdf_volume * trans_hit, axis=-1)
+            w_hit = jnp.where(
+                can_step[..., None],
+                trans_hit / jnp.maximum(p_surv, 1e-20)[..., None],
+                trans_hit,
+            )
+            throughput0 = jnp.where(
+                in_medium[..., None], throughput0 * w_hit, throughput0
+            )
+            walk = walk + in_medium.astype(jnp.int32)
+            # scatter-miss: the free-flight ray ended inside the medium
+            # (miss.cu stepVolume:62-79): advance, reweight, new HG direction
+            scatter_miss = can_step & ~hit.valid
+            pos_volume = jnp.where(
+                scatter_miss[..., None],
+                s.pos + s.wi * dist_sample[..., None],
+                s.pos,
+            )
+            trans_m = jnp.exp(-sigma_t * dist_sample[..., None])
+            pdf_m = jnp.sum(pdf_volume * sigma_t * trans_m, axis=-1)
+            tp_m = top_ss * trans_m / jnp.maximum(pdf_m, 1e-20)[..., None]
+            throughput0 = jnp.where(
+                scatter_miss[..., None], throughput0 * tp_m, throughput0
+            )
+            walk = walk + scatter_miss.astype(jnp.int32)
+            # Henyey-Greenstein direction about the current direction
+            # (raygeneration.cu:74-104)
+            seed, xi_hg = R.rng2(seed)
+            g = s.bias_stack[rows, s.stack_idx]
+            iso = jnp.abs(g) < 1e-3
+            sq = (1.0 - g * g) / jnp.maximum(1.0 - g + 2.0 * g * xi_hg[:, 0], 1e-12)
+            g_safe = jnp.where(iso, 1.0, g)
+            cos_hg = jnp.where(
+                iso,
+                1.0 - 2.0 * xi_hg[:, 0],
+                (1.0 + g * g - sq * sq) / (2.0 * g_safe),
+            )
+            sin_hg = jnp.sqrt(jnp.maximum(1.0 - cos_hg * cos_hg, 0.0))
+            phi_hg = 2.0 * jnp.pi * xi_hg[:, 1]
+            local = jnp.stack(
+                [jnp.cos(phi_hg) * sin_hg, jnp.sin(phi_hg) * sin_hg, cos_hg], -1
+            )
+            from ..utils.math import build_onb, to_world
+
+            tb, bb = build_onb(s.wi)
+            hg_dir = to_world(tb, bb, s.wi, local)
+            wi_volume = jnp.where(scatter_miss[..., None], hg_dir, s.wi)
+            # a volume step is not a surface hit: next segment starts at the
+            # scatter point with tmin 0 (no FLAG_HIT -> no epsilon offset)
+            hit_before = jnp.where(scatter_miss, False, hit_before)
+        s = s._replace(throughput=throughput0)
+
         # ---- miss: environment ---------------------------------------
-        miss = active & ~hit.valid
+        miss = active & ~hit.valid & ~scatter_miss
         radiance = s.radiance
         env_em, env_pdf, has_env = env_radiance(scene.lights, s.wi)
         if has_env:
@@ -280,14 +394,20 @@ def trace_wavefront(
             terminate = jnp.zeros((n,), bool)
 
         # ---- BSDF sample ---------------------------------------------
-        seed, xi = R.rng4(s.seed)
+        seed, xi = R.rng4(seed)
         top = s.ior_stack[rows, s.stack_idx]
         below = s.ior_stack[rows, jnp.maximum(s.stack_idx - 1, 0)]
         thin = params.thin_walled != 0
         eta_i = jnp.where(front | thin, top, params.ior)
         eta_t = jnp.where(front | thin, params.ior, below)
         sample = B.bsdf_sample(params, wo, ns, ng, xi, eta_i, eta_t)
-        event = jnp.where(hit_valid, sample.event, jnp.int32(B.BSDF_EVENT_ABSORB))
+        # volume scatter steps keep the previous surface event/pdf for MIS
+        # (stepVolume leaves eventType untouched, miss.cu:62-79)
+        event = jnp.where(
+            hit_valid,
+            sample.event,
+            jnp.where(scatter_miss, s.event, jnp.int32(B.BSDF_EVENT_ABSORB)),
+        )
         event_non_dirac = (event & B.BSDF_EVENT_NON_DIRAC) != 0
         event_specular = (event & B.BSDF_EVENT_SPECULAR) != 0
 
@@ -414,6 +534,24 @@ def trace_wavefront(
         ior_stack = s.ior_stack.at[rows, new_idx].set(
             jnp.where(push, params.ior, s.ior_stack[rows, new_idx])
         )
+        sigma_a_stack = s.sigma_a_stack
+        sigma_s_stack = s.sigma_s_stack
+        bias_stack = s.bias_stack
+        if has_volumes:
+            mat_sa = scene.mat_sigma_a[mid]
+            mat_ss = scene.mat_sigma_s[mid]
+            mat_bias = scene.mat_volume_bias[mid]
+            sigma_a_stack = sigma_a_stack.at[rows, new_idx].set(
+                jnp.where(push[..., None], mat_sa, sigma_a_stack[rows, new_idx])
+            )
+            sigma_s_stack = sigma_s_stack.at[rows, new_idx].set(
+                jnp.where(push[..., None], mat_ss, sigma_s_stack[rows, new_idx])
+            )
+            bias_stack = bias_stack.at[rows, new_idx].set(
+                jnp.where(push, mat_bias, bias_stack[rows, new_idx])
+            )
+            # crossing any boundary resets the walk counter (hit.cu:523)
+            walk = jnp.where(transmit, 0, walk)
 
         # ---- unbiased-suffix Russian roulette (raygeneration.cu:245-262)
         if train:
@@ -432,15 +570,15 @@ def trace_wavefront(
             alive = alive & ~kill  # unbiased end: mask stays 0
 
         return _State(
-            pos=jnp.where(hit_valid[..., None], p_hit, s.pos),
-            wi=jnp.where(hit_valid[..., None], sample.wi, s.wi),
+            pos=jnp.where(hit_valid[..., None], p_hit, pos_volume),
+            wi=jnp.where(hit_valid[..., None], sample.wi, wi_volume),
             seed=seed,
             throughput=throughput,
             radiance=radiance,
             pdf=jnp.where(hit_valid, sample.pdf, s.pdf),
             event=event,
             alive=alive,
-            hit_before=s.hit_before | hit_valid,
+            hit_before=hit_before | hit_valid,
             area_spread=area_spread2,
             area_threshold=area_threshold,
             recorded_first=recorded_first,
@@ -450,6 +588,10 @@ def trace_wavefront(
             full=full,
             rec_count=rec_count,
             ior_stack=ior_stack,
+            sigma_a_stack=sigma_a_stack,
+            sigma_s_stack=sigma_s_stack,
+            bias_stack=bias_stack,
+            walk=walk,
             stack_idx=new_idx,
             last_render_throughput=lrt,
             render_query=render_query,

@@ -77,6 +77,10 @@ class Renderer:
             scene_epsilon=system.scene_epsilon,
             walk_length=system.walk_length,
             position_scale=position_scale,
+            has_volumes=bool(
+                np.max(scene.materials.sigma_a) + np.max(scene.materials.sigma_s)
+                > 0.0
+            ),
         )
 
         # Fused Pallas MLP (tiny-cuda-nn equivalent): 23% faster than the XLA

@@ -71,6 +71,32 @@ def _resolve_float(expr: str, params: Dict[str, object], default: float) -> floa
     return default
 
 
+def _resolve_volume_coeff(
+    expr: str, params: Dict[str, object]
+) -> Tuple[float, float, float]:
+    """Volume coefficient expressions.
+
+    The sample materials express coefficients via a target transmittance
+    color at a distance scale (``data/mdl/vdf_anisotropic.mdl``):
+    ``(scale <= 0) ? color(0) : math::log(X + eps) / -scale``
+    which is sigma = -log(X + eps)/scale per channel. Evaluate that pattern
+    numerically; anything else falls back to direct color resolution.
+    """
+    m = re.search(
+        rf"math::log\(\s*(\w+)\s*\+\s*({_NUM})\s*\)\s*/\s*-\s*(\w+)", expr
+    )
+    if m:
+        base = _resolve_color(m.group(1), params)
+        eps = float(m.group(2))
+        scale = _resolve_float(m.group(3), params, 1.0)
+        if scale <= 0.0:
+            return (0.0, 0.0, 0.0)
+        import math
+
+        return tuple(max(0.0, -math.log(v + eps) / scale) for v in base)
+    return _resolve_color(expr, params)
+
+
 def _bsdf_archetype(bsdf_name: str, mode: str) -> Archetype:
     glossy = {
         "microfacet_ggx_smith_bsdf",
@@ -170,13 +196,16 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
             else EmissionMode.RADIANT_EXITANCE
         )
 
-    # volume absorption/scattering coefficients
+    # volume absorption/scattering coefficients + HG phase anisotropy
     m = re.search(r"absorption_coefficient\s*:\s*([^,\n]+)", text)
     if m:
-        mat.sigma_a = _resolve_color(m.group(1), params)
+        mat.sigma_a = _resolve_volume_coeff(m.group(1), params)
     m = re.search(r"scattering_coefficient\s*:\s*([^,\n]+)", text)
     if m:
-        mat.sigma_s = _resolve_color(m.group(1), params)
+        mat.sigma_s = _resolve_volume_coeff(m.group(1), params)
+    m = re.search(r"anisotropic_vdf\s*\(\s*directional_bias\s*:\s*([^,\n)]+)", text)
+    if m:
+        mat.volume_bias = _resolve_float(m.group(1), params, 0.0)
 
     # cutout
     m = re.search(r"cutout_opacity\s*:\s*([^,\n)]+)", text)

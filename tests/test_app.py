@@ -1,0 +1,60 @@
+"""App-shell tests: CLI option parity (reference ``Options.cpp:45-157``) and
+network checkpoint/resume round-trip (a capability the reference lacks,
+SURVEY.md §5)."""
+
+import jax
+import numpy as np
+
+from nrc_tpu.app.cli import build_parser
+from nrc_tpu.config import InputEncoding, NetworkConfig
+from nrc_tpu.models import network as N
+from nrc_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+
+
+class TestCLIParser:
+    def test_reference_option_parity(self):
+        args = build_parser().parse_args(
+            ["-w", "640", "-h", "480", "-m", "1", "-s", "sys.txt", "-d", "scn.txt", "-o"]
+        )
+        assert args.width == 640 and args.height == 480
+        assert args.mode == 1
+        assert args.system == "sys.txt" and args.scene == "scn.txt"
+        assert args.optimize
+
+    def test_extensions(self):
+        args = build_parser().parse_args(
+            ["-s", "a", "-d", "b", "--encoding", "hash", "--render-mode", "no_cache",
+             "--devices", "4", "--spp", "64"]
+        )
+        assert args.encoding == "hash" and args.devices == 4 and args.spp == 64
+
+
+def _roundtrip(cfg: NetworkConfig, tmp_path):
+    state = N.init_network(jax.random.PRNGKey(3), cfg)
+    # train a step so optimizer moments are non-trivial
+    q = jax.random.uniform(jax.random.PRNGKey(4), (128, 15))
+    t = jax.random.uniform(jax.random.PRNGKey(5), (128, 3))
+    state, _ = N.train_step(state, q, t, cfg, cfg.learning_rate)
+    p = save_checkpoint(str(tmp_path / "ck"), state)
+    loaded = load_checkpoint(p, cfg)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed state is usable
+    out = N.infer(loaded, q, cfg)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestCheckpoint:
+    def test_roundtrip_frequency(self, tmp_path):
+        _roundtrip(NetworkConfig(encoding=InputEncoding.FREQUENCY), tmp_path)
+
+    def test_roundtrip_hash(self, tmp_path):
+        _roundtrip(NetworkConfig(encoding=InputEncoding.HASH), tmp_path)
+
+    def test_encoding_mismatch_raises(self, tmp_path):
+        state = N.init_network(jax.random.PRNGKey(0), NetworkConfig())
+        p = save_checkpoint(str(tmp_path / "ck"), state)
+        import pytest
+
+        with pytest.raises(ValueError):
+            load_checkpoint(p, NetworkConfig(encoding=InputEncoding.HASH))
