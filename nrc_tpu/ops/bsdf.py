@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..scene.materials import Archetype
 from ..utils.math import (
@@ -231,8 +232,8 @@ def bsdf_sample(
     )
     ev_ggx = jnp.where(
         ggx_reflect,
-        jnp.int32(BSDF_EVENT_GLOSSY_REFLECTION),
-        jnp.int32(BSDF_EVENT_GLOSSY_TRANSMISSION),
+        np.int32(BSDF_EVENT_GLOSSY_REFLECTION),
+        np.int32(BSDF_EVENT_GLOSSY_TRANSMISSION),
     )
 
     # --- specular family ------------------------------------------------
@@ -252,8 +253,8 @@ def bsdf_sample(
     ok_spec = ~(is_st & tir_s)
     ev_spec = jnp.where(
         spec_reflect,
-        jnp.int32(BSDF_EVENT_SPECULAR_REFLECTION),
-        jnp.int32(BSDF_EVENT_SPECULAR_TRANSMISSION),
+        np.int32(BSDF_EVENT_SPECULAR_REFLECTION),
+        np.int32(BSDF_EVENT_SPECULAR_TRANSMISSION),
     )
 
     # --- combine --------------------------------------------------------
@@ -280,10 +281,10 @@ def bsdf_sample(
     )
     event = jnp.where(
         is_dr,
-        jnp.int32(BSDF_EVENT_DIFFUSE_REFLECTION),
+        np.int32(BSDF_EVENT_DIFFUSE_REFLECTION),
         jnp.where(
             is_dt,
-            jnp.int32(BSDF_EVENT_DIFFUSE_TRANSMISSION),
+            np.int32(BSDF_EVENT_DIFFUSE_TRANSMISSION),
             jnp.where(is_ggx_f, ev_ggx, ev_spec),
         ),
     )
@@ -295,7 +296,7 @@ def bsdf_sample(
     )
     # NULL_BSDF or failed sample -> absorb (hit.cu:871-875)
     ok = ok & ~_is(arch, Archetype.NULL_BSDF)
-    event = jnp.where(ok, event, jnp.int32(BSDF_EVENT_ABSORB))
+    event = jnp.where(ok, event, np.int32(BSDF_EVENT_ABSORB))
     weight = jnp.where(ok[..., None], weight, 0.0)
     pdf = jnp.where(ok, pdf, 0.0)
     return BSDFSample(wi=wi, bsdf_over_pdf=weight, pdf=pdf, event=event)

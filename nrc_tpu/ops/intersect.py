@@ -27,7 +27,7 @@ import numpy as np
 
 from ..utils.math import cross, dot
 
-RT_MAX = jnp.float32(3.0e38)
+RT_MAX = np.float32(3.0e38)
 BVH_THRESHOLD = 16384  # switch to BVH traversal above this many triangles
 
 
@@ -149,7 +149,7 @@ def intersect_bruteforce(
     init = (
         jnp.full((n,), RT_MAX),
         jnp.full((n,), -1, jnp.int32),
-        jnp.int32(0),
+        np.int32(0),
     )
     (t, prim, _), _ = jax.lax.scan(body, init, tri_chunks)
 
@@ -225,7 +225,7 @@ def _ray_aabb(o, inv_d, lo, hi, tmin, tmax):
 
 def _traverse_one(o, d, tmin, tmax, bvh, tris: TriSoA, any_hit: bool):
     """Single-ray stack traversal (vmapped). ``bvh``: dict of flat arrays."""
-    inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.float32(1e20) * jnp.sign(d) + 1e20)
+    inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, np.float32(1e20) * jnp.sign(d) + 1e20)
 
     lo, hi = bvh["lo"], bvh["hi"]
     left, right = bvh["left"], bvh["right"]
@@ -311,9 +311,9 @@ def _traverse_one(o, d, tmin, tmax, bvh, tris: TriSoA, any_hit: bool):
         root_hit.astype(jnp.int32),
         stack0,
         RT_MAX,
-        jnp.int32(-1),
-        jnp.float32(0.0),
-        jnp.float32(0.0),
+        np.int32(-1),
+        np.float32(0.0),
+        np.float32(0.0),
     )
     _, _, t, prim, u, v = jax.lax.while_loop(cond, step, state)
     return t, prim, u, v

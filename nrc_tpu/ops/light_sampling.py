@@ -35,7 +35,7 @@ from ..scene.lights import (
 from ..utils.math import dot, normalize, safe_div
 
 M_PI = float(jnp.pi)
-RT_MAX = jnp.float32(3.0e38)
+RT_MAX = np.float32(3.0e38)
 DENOM_EPS = 1.0e-6
 
 
@@ -48,7 +48,7 @@ DENOM_EPS = 1.0e-6
         "material_id", "emission_radiance", "tri_start", "tri_count",
         "mesh_p0", "mesh_p1", "mesh_p2", "mesh_n0", "mesh_n1", "mesh_n2",
         "mesh_prob", "mesh_alias", "env_texture", "env_prob", "env_alias",
-        "env_pdf",
+        "env_pdf", "ies_texture", "ies_index",
     ),
 )
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +90,9 @@ class DeviceLights:
     env_prob: jnp.ndarray       # [H*W]
     env_alias: jnp.ndarray      # [H*W] i32
     env_pdf: jnp.ndarray        # [H, W] solid-angle pdf per texel
+    # IES goniometric candela textures (dummy [1,1,1] when absent)
+    ies_texture: jnp.ndarray = None  # [NI, H, W]
+    ies_index: jnp.ndarray = None    # [L] i32, -1 = no profile
     types_static: tuple = ()
 
     @property
@@ -143,6 +146,13 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
         env_alias = np.zeros((1,), np.int32)
         env_pdf = np.full((1, 1), 0.25 / np.pi, np.float32)
 
+    if lt.ies_texture is not None:
+        ies_texture = lt.ies_texture
+        ies_index = lt.ies_index
+    else:
+        ies_texture = np.ones((1, 1, 1), np.float32)
+        ies_index = np.full((max(n, 1),), -1, np.int32)
+
     def j(x, dt=jnp.float32):
         return jnp.asarray(x, dt)
 
@@ -161,6 +171,7 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
             mesh_prob=j(mesh_prob), mesh_alias=j(mesh_alias, jnp.int32),
             env_texture=j(env_texture), env_prob=j(env_prob),
             env_alias=j(env_alias, jnp.int32), env_pdf=j(env_pdf),
+            ies_texture=j(ies_texture), ies_index=j(ies_index, jnp.int32),
             types_static=(),
         )
 
@@ -190,6 +201,8 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
         env_prob=j(env_prob),
         env_alias=j(env_alias, jnp.int32),
         env_pdf=j(env_pdf),
+        ies_texture=j(ies_texture),
+        ies_index=j(ies_index, jnp.int32),
         types_static=tuple(int(t) for t in lt.type),
     )
 
@@ -260,13 +273,33 @@ def sample_lights(
             valid = valid & jnp.where(is_spot, inside, True)
 
         if TYPE_LIGHT_IES in present:
-            # profile texture modulation around the light's local frame
+            # goniometric candela texture modulation in the light's local
+            # frame (light_sample.cu:186-199): u azimuth with wrap, v polar
+            # from the nadir; bilinear filtered
             r = -dirn  # light -> surface, world
             rl = jnp.einsum("nij,nj->ni", lights.ori_inv[idx], r)
             u = (jnp.arctan2(-rl[..., 0], rl[..., 2]) + M_PI) * 0.5 / M_PI
             v = jnp.arccos(jnp.clip(-rl[..., 1], -1.0, 1.0)) / M_PI
-            # IES profile textures land in a later pass; emission alone here
-            del u, v
+            ni, th, tw = lights.ies_texture.shape
+            prof = jnp.maximum(lights.ies_index[idx], 0)
+            fx = u * tw - 0.5
+            fy = v * th - 0.5
+            x0 = jnp.floor(fx).astype(jnp.int32)
+            y0 = jnp.floor(fy).astype(jnp.int32)
+            wx = fx - x0.astype(jnp.float32)
+            wy = fy - y0.astype(jnp.float32)
+            x0w, x1w = jnp.mod(x0, tw), jnp.mod(x0 + 1, tw)
+            y0c, y1c = jnp.clip(y0, 0, th - 1), jnp.clip(y0 + 1, 0, th - 1)
+            t00 = lights.ies_texture[prof, y0c, x0w]
+            t10 = lights.ies_texture[prof, y0c, x1w]
+            t01 = lights.ies_texture[prof, y1c, x0w]
+            t11 = lights.ies_texture[prof, y1c, x1w]
+            candela = (
+                (1 - wy) * ((1 - wx) * t00 + wx * t10)
+                + wy * ((1 - wx) * t01 + wx * t11)
+            )
+            has_prof = (ltype == TYPE_LIGHT_IES) & (lights.ies_index[idx] >= 0)
+            emis = jnp.where(has_prof[..., None], emis * candela[..., None], emis)
 
         is_sing = (
             (ltype == TYPE_LIGHT_POINT)

@@ -32,6 +32,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import (
     BATCH_SIZE,
@@ -173,7 +174,7 @@ def frame_step(
 
     # ---- per-frame randomness (host rand() in the reference,
     # Device.cpp:2423-2428; here an on-device TEA stream) -----------------
-    frame_seed = R.tea(jnp.uint32(0x9E3779B9), total_subframe)
+    frame_seed = R.tea(np.uint32(0x9E3779B9), total_subframe)
     frame_seed, u_tt = R.rng(frame_seed)
     tsx, tsy = cfg.tile_size
     tile_training_index = jnp.minimum(
@@ -198,7 +199,7 @@ def frame_step(
         tpx = tile_x0 + lx
         tpy = tile_y0 + ly
         t_pidx = (tpy * cfg.width + tpx).astype(jnp.uint32)
-        t_seeds = R.tea(t_pidx + jnp.uint32(0x7F4A7C15), total_subframe)
+        t_seeds = R.tea(t_pidx + np.uint32(0x7F4A7C15), total_subframe)
         t_seeds, u_unb = R.rng(t_seeds)
         unbiased = u_unb < train_unbiased_ratio
         t_pix = jnp.stack([tpx, tpy], axis=-1).astype(jnp.float32)
@@ -287,12 +288,12 @@ def frame_step(
                 return (ns2, loss), loss
 
             (ns2, _), losses = jax.lax.scan(
-                body, (ns, jnp.float32(0.0)), (batch_q, batch_t)
+                body, (ns, np.float32(0.0)), (batch_q, batch_t)
             )
             return ns2, jnp.mean(losses)
 
         def skip_train(ns):
-            return ns, jnp.float32(0.0)
+            return ns, np.float32(0.0)
 
         # The branch predicate must agree across shards: the train branch
         # contains gradient collectives, and a per-shard cond would diverge.
@@ -303,7 +304,7 @@ def frame_step(
             global_records > 0, do_train, skip_train, net_state
         )
     else:
-        loss = jnp.float32(0.0)
-        num_records = jnp.int32(0)
+        loss = np.float32(0.0)
+        num_records = np.int32(0)
 
     return image, net_state, FrameStats(loss=loss, num_train_records=num_records)

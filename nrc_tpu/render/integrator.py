@@ -30,6 +30,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import FrameConfig, RenderMode
 from ..ops import bsdf as B
@@ -406,7 +407,7 @@ def trace_wavefront(
         event = jnp.where(
             hit_valid,
             sample.event,
-            jnp.where(scatter_miss, s.event, jnp.int32(B.BSDF_EVENT_ABSORB)),
+            jnp.where(scatter_miss, s.event, np.int32(B.BSDF_EVENT_ABSORB)),
         )
         event_non_dirac = (event & B.BSDF_EVENT_NON_DIRAC) != 0
         event_specular = (event & B.BSDF_EVENT_SPECULAR) != 0
@@ -605,7 +606,7 @@ def trace_wavefront(
 
     # Depth 0 computes the area threshold (structurally different), so it is
     # unrolled; all later bounces are one traced body compiled once by scan.
-    state = bounce(state, True, jnp.int32(0))
+    state = bounce(state, True, np.int32(0))
     if cfg.max_depth >= 1:
 
         def scan_body(s, depth_val):

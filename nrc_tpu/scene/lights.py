@@ -60,8 +60,10 @@ class LightTable:
     env_texture: Optional[np.ndarray] = None  # [H, W, 3] f32
     env_cdf_u: Optional[np.ndarray] = None    # [H, W+1] f32
     env_cdf_v: Optional[np.ndarray] = None    # [H+1] f32
-    # IES profile luminance texture (per IES light, single shared for now)
-    ies_texture: Optional[np.ndarray] = None  # [H, W] f32
+    # IES goniometric candela textures, stacked [NI, H, W]; per-light index
+    # into the stack (-1 when the light has no profile)
+    ies_texture: Optional[np.ndarray] = None   # [NI, H, W] f32
+    ies_index: Optional[np.ndarray] = None     # [L] int32
 
     @property
     def num_lights(self) -> int:

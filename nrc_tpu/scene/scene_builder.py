@@ -208,10 +208,13 @@ def _build_lights(
     tri_count: List[int] = []
     mesh_tris: List[tuple] = []
     env_texture = env_cdf_u = env_cdf_v = None
+    ies_textures: List[np.ndarray] = []
+    ies_index: List[int] = []
 
     def add(ltype, matrix, emission, area=0.0, inv_integral=0.0, sa=45.0, se=0.0, mid=-1,
-            ts=0, tc=0):
+            ts=0, tc=0, ies=-1):
         types.append(ltype)
+        ies_index.append(ies)
         matrices.append(np.asarray(matrix, np.float32))
         emissions.append(emission)
         areas.append(area)
@@ -244,7 +247,19 @@ def _build_lights(
         elif ld.light_type == "spot":
             add(TYPE_LIGHT_SPOT, ld.matrix, emission, sa=ld.spot_angle, se=ld.spot_exponent)
         elif ld.light_type == "ies":
-            add(TYPE_LIGHT_IES, ld.matrix, emission)
+            # emissionProfile "<file.ies>" -> goniometric candela texture
+            # (Application.cpp:2042-2052 LoaderIES -> Picture::createIES)
+            prof = -1
+            if ld.profile:
+                from .ies import ies_to_texture, load_ies
+
+                for sp in search_paths:
+                    p = os.path.join(sp, ld.profile) if sp else ld.profile
+                    if os.path.isfile(p):
+                        ies_textures.append(ies_to_texture(load_ies(p)))
+                        prof = len(ies_textures) - 1
+                        break
+            add(TYPE_LIGHT_IES, ld.matrix, emission, ies=prof)
 
     # Implicit mesh lights: one light per emissive material's triangle set
     # (reference groups per Instance; with a flattened scene, per material
@@ -302,6 +317,8 @@ def _build_lights(
         env_texture=env_texture,
         env_cdf_u=env_cdf_u,
         env_cdf_v=env_cdf_v,
+        ies_texture=np.stack(ies_textures) if ies_textures else None,
+        ies_index=np.asarray(ies_index, np.int32),
     )
     return table, light_id
 

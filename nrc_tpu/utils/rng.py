@@ -14,27 +14,29 @@ reference's consumption order per ray.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_LCG_A = jnp.uint32(1664525)
-_LCG_C = jnp.uint32(1013904223)
+_LCG_A = np.uint32(1664525)
+_LCG_C = np.uint32(1013904223)
 
 
 def tea(val0: jnp.ndarray, val1: jnp.ndarray, rounds: int = 4) -> jnp.ndarray:
     """Tiny Encryption Algorithm hash, vectorized (reference ``tea<N>``)."""
     v0 = jnp.asarray(val0, dtype=jnp.uint32)
     v1 = jnp.asarray(val1, dtype=jnp.uint32)
-    s0 = jnp.uint32(0)
+    s0 = 0
     for _ in range(rounds):
-        s0 = s0 + jnp.uint32(0x9E3779B9)
+        s0 = (s0 + 0x9E3779B9) & 0xFFFFFFFF
+        k = np.uint32(s0)
         v0 = v0 + (
-            ((v1 << 4) + jnp.uint32(0xA341316C))
-            ^ (v1 + s0)
-            ^ ((v1 >> 5) + jnp.uint32(0xC8013EA4))
+            ((v1 << 4) + np.uint32(0xA341316C))
+            ^ (v1 + k)
+            ^ ((v1 >> 5) + np.uint32(0xC8013EA4))
         )
         v1 = v1 + (
-            ((v0 << 4) + jnp.uint32(0xAD90777D))
-            ^ (v0 + s0)
-            ^ ((v0 >> 5) + jnp.uint32(0x7E95761E))
+            ((v0 << 4) + np.uint32(0xAD90777D))
+            ^ (v0 + k)
+            ^ ((v0 >> 5) + np.uint32(0x7E95761E))
         )
     return v0
 
@@ -46,7 +48,7 @@ def lcg_step(seed: jnp.ndarray) -> jnp.ndarray:
 def rng(seed: jnp.ndarray):
     """One LCG step; returns (new_seed, float in [0,1) from the upper 24 bits)."""
     seed = lcg_step(seed)
-    return seed, (seed >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / 16777216.0)
+    return seed, (seed >> np.uint32(8)).astype(jnp.float32) * (1.0 / 16777216.0)
 
 
 def rng2(seed: jnp.ndarray):
