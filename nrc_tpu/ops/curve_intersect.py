@@ -156,22 +156,50 @@ def _traverse_one(o, d, tmin, tmax, bvh, curves: CurveSoA, any_hit: bool):
     start, count = bvh["start"], bvh["count"]
     order = bvh["order"]
 
-    def leaf_intersect(node, best):
-        best_t, best_prim = best
+    # NOTE: no ``lax.cond`` between leaf/inner work. Under vmap a cond
+    # lowers to select-of-both-branches, and on XLA:TPU a batched
+    # dynamic-trip fori_loop nested inside that select materializes a
+    # [rays, nodes, 3] temporary that overflows the int32 allocation bound
+    # (observed with 200k+ nodes). The flat masked form compiles cleanly;
+    # per-lane divergence cost is identical (both sides ran anyway).
+    def step(state):
+        sp, stack, best_t, best_prim = state
+        sp = sp - 1
+        node = stack[sp]
+        is_leaf = count[node] > 0
+
+        # --- leaf: scan the (<= max_leaf) primitive range, masked ---
         s = start[node]
-        c = count[node]
+        c = jnp.where(is_leaf, count[node], 0)
 
         def body(i, best):
-            best_t, best_prim = best
+            bt, bp = best
             p = order[s + i]
             t = _roundcone_t(
                 o, d, curves.pa[p], curves.ba[p], curves.ra[p], curves.rb[p],
-                curves.m0[p], tmin, jnp.minimum(best_t, tmax),
+                curves.m0[p], tmin, jnp.minimum(bt, tmax),
             )
-            ok = t < jnp.minimum(best_t, tmax)
-            return jnp.where(ok, t, best_t), jnp.where(ok, p, best_prim)
+            ok = t < jnp.minimum(bt, tmax)
+            return jnp.where(ok, t, bt), jnp.where(ok, p, bp)
 
-        return jax.lax.fori_loop(0, c, body, (best_t, best_prim))
+        best_t, best_prim = jax.lax.fori_loop(0, c, body, (best_t, best_prim))
+
+        # --- inner: push children ordered by entry distance, masked ---
+        l = jnp.where(is_leaf, node, left[node])
+        r = jnp.where(is_leaf, node, right[node])
+        cap = jnp.minimum(best_t, tmax)
+        hit_l, near_l = _ray_aabb(o, inv_d, lo[l], hi[l], tmin, cap)
+        hit_r, near_r = _ray_aabb(o, inv_d, lo[r], hi[r], tmin, cap)
+        near_first = near_l <= near_r
+        first = jnp.where(near_first, l, r)
+        second = jnp.where(near_first, r, l)
+        hit_first = jnp.where(near_first, hit_l, hit_r) & ~is_leaf
+        hit_second = jnp.where(near_first, hit_r, hit_l) & ~is_leaf
+        stack = stack.at[sp].set(second)
+        sp = sp + hit_second.astype(jnp.int32)
+        stack = stack.at[sp].set(first)
+        sp = sp + hit_first.astype(jnp.int32)
+        return sp, stack, best_t, best_prim
 
     def cond(state):
         sp, _, _, best_prim = state
@@ -179,39 +207,6 @@ def _traverse_one(o, d, tmin, tmax, bvh, curves: CurveSoA, any_hit: bool):
         if any_hit:
             not_done = not_done & (best_prim < 0)
         return not_done
-
-    def step(state):
-        sp, stack, best_t, best_prim = state
-        sp = sp - 1
-        node = stack[sp]
-        is_leaf = count[node] > 0
-
-        def do_leaf(args):
-            sp, stack, best = args
-            return sp, stack, leaf_intersect(node, best)
-
-        def do_inner(args):
-            sp, stack, best = args
-            best_t = best[0]
-            l, r = left[node], right[node]
-            cap = jnp.minimum(best_t, tmax)
-            hit_l, near_l = _ray_aabb(o, inv_d, lo[l], hi[l], tmin, cap)
-            hit_r, near_r = _ray_aabb(o, inv_d, lo[r], hi[r], tmin, cap)
-            near_first = near_l <= near_r
-            first = jnp.where(near_first, l, r)
-            second = jnp.where(near_first, r, l)
-            hit_first = jnp.where(near_first, hit_l, hit_r)
-            hit_second = jnp.where(near_first, hit_r, hit_l)
-            stack = stack.at[sp].set(second)
-            sp = sp + hit_second.astype(jnp.int32)
-            stack = stack.at[sp].set(first)
-            sp = sp + hit_first.astype(jnp.int32)
-            return sp, stack, best
-
-        sp, stack, best = jax.lax.cond(
-            is_leaf, do_leaf, do_inner, (sp, stack, (best_t, best_prim))
-        )
-        return sp, stack, *best
 
     stack0 = jnp.zeros((MAX_STACK,), jnp.int32)
     root_hit, _ = _ray_aabb(o, inv_d, lo[0], hi[0], tmin, tmax)
@@ -251,13 +246,21 @@ def intersect_curves_bruteforce(
     return CurveHit(t=t, prim=prim)
 
 
-def curve_shading_frame(curves: CurveSoA, prim, x):
-    """Shading attributes at hit point ``x`` on segment ``prim``.
+class CurveFrame(NamedTuple):
+    normal: jnp.ndarray    # [N, 3] rounded-cone surface normal
+    tangent: jnp.ndarray   # [N, 3] fiber tangent (longitudinal axis)
+    b1: jnp.ndarray        # [N, 3] azimuthal frame (from the strand reference)
+    b2: jnp.ndarray        # [N, 3]
+    u_fiber: jnp.ndarray   # [N]
+    v_fiber: jnp.ndarray   # [N]
+    color: jnp.ndarray     # [N, 3] interpolated strand color
 
-    Returns (normal, tangent, u_fiber, v_fiber, color): the surface normal
-    of the rounded cone, the normalized fiber tangent, the texture
-    coordinates the reference exposes as uFiber/vFiber
-    (``hit.cu:1769-1816``), and the interpolated strand color.
+
+def curve_shading_frame(curves: CurveSoA, prim, x) -> CurveFrame:
+    """Shading attributes at hit point ``x`` on segment ``prim``: the
+    rounded-cone surface normal, the fiber tangent, a per-strand-stable
+    azimuthal frame, the texture coordinates the reference exposes as
+    uFiber/vFiber (``hit.cu:1769-1816``), and the interpolated strand color.
     """
     p = jnp.maximum(prim, 0)
     pa = curves.pa[p]
@@ -298,4 +301,4 @@ def curve_shading_frame(curves: CurveSoA, prim, x):
     ang = jnp.arctan2(jnp.sum(n * b2, axis=-1), jnp.sum(n * b1, axis=-1))
     v_fiber = (ang / (2.0 * jnp.pi)) % 1.0
 
-    return n, tangent, u_fiber, v_fiber, color
+    return CurveFrame(n, tangent, b1, b2, u_fiber, v_fiber, color)

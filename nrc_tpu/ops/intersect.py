@@ -232,10 +232,27 @@ def _traverse_one(o, d, tmin, tmax, bvh, tris: TriSoA, any_hit: bool):
     start, count = bvh["start"], bvh["count"]
     order = bvh["order"]
 
-    def leaf_intersect(node, best):
-        best_t, best_prim, best_u, best_v = best
+    # NOTE: flat masked leaf+inner body — no ``lax.cond``. Under vmap a cond
+    # lowers to select-of-both-branches, and on XLA:TPU a batched
+    # dynamic-trip fori_loop nested inside that select materializes a
+    # [rays, nodes, 3] temporary that overflows the int32 allocation bound
+    # (observed with the 200k-node hair BVH; same structure here).
+    def cond(state):
+        sp, _, best_t, best_prim, *_ = state
+        not_done = sp > 0
+        if any_hit:
+            not_done = not_done & (best_prim < 0)
+        return not_done
+
+    def step(state):
+        sp, stack, best_t, best_prim, best_u, best_v = state
+        sp = sp - 1
+        node = stack[sp]
+        is_leaf = count[node] > 0
+
+        # --- leaf primitives, masked (count 0 for inner nodes) ---
         s = start[node]
-        c = count[node]
+        c = jnp.where(is_leaf, count[node], 0)
 
         def tri_body(i, best):
             best_t, best_prim, best_u, best_v = best
@@ -261,48 +278,26 @@ def _traverse_one(o, d, tmin, tmax, bvh, tris: TriSoA, any_hit: bool):
                 jnp.where(ok, v, best_v),
             )
 
-        return jax.lax.fori_loop(0, c, tri_body, (best_t, best_prim, best_u, best_v))
-
-    def cond(state):
-        sp, _, best_t, best_prim, *_ = state
-        not_done = sp > 0
-        if any_hit:
-            not_done = not_done & (best_prim < 0)
-        return not_done
-
-    def step(state):
-        sp, stack, best_t, best_prim, best_u, best_v = state
-        sp = sp - 1
-        node = stack[sp]
-        is_leaf = count[node] > 0
-
-        def do_leaf(args):
-            sp, stack, best = args
-            best = leaf_intersect(node, best)
-            return sp, stack, best
-
-        def do_inner(args):
-            sp, stack, best = args
-            best_t = best[0]
-            l, r = left[node], right[node]
-            hit_l, near_l = _ray_aabb(o, inv_d, lo[l], hi[l], tmin, jnp.minimum(best_t, tmax))
-            hit_r, near_r = _ray_aabb(o, inv_d, lo[r], hi[r], tmin, jnp.minimum(best_t, tmax))
-            # push far child first so the near one pops first
-            near_first = near_l <= near_r
-            first = jnp.where(near_first, l, r)
-            second = jnp.where(near_first, r, l)
-            hit_first = jnp.where(near_first, hit_l, hit_r)
-            hit_second = jnp.where(near_first, hit_r, hit_l)
-            stack = stack.at[sp].set(second)
-            sp = sp + hit_second.astype(jnp.int32)
-            stack = stack.at[sp].set(first)
-            sp = sp + hit_first.astype(jnp.int32)
-            return sp, stack, best
-
-        sp, stack, best = jax.lax.cond(
-            is_leaf, do_leaf, do_inner, (sp, stack, (best_t, best_prim, best_u, best_v))
+        best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
+            0, c, tri_body, (best_t, best_prim, best_u, best_v)
         )
-        return sp, stack, *best
+
+        # --- inner children, masked; push far child first ---
+        l = jnp.where(is_leaf, node, left[node])
+        r = jnp.where(is_leaf, node, right[node])
+        cap = jnp.minimum(best_t, tmax)
+        hit_l, near_l = _ray_aabb(o, inv_d, lo[l], hi[l], tmin, cap)
+        hit_r, near_r = _ray_aabb(o, inv_d, lo[r], hi[r], tmin, cap)
+        near_first = near_l <= near_r
+        first = jnp.where(near_first, l, r)
+        second = jnp.where(near_first, r, l)
+        hit_first = jnp.where(near_first, hit_l, hit_r) & ~is_leaf
+        hit_second = jnp.where(near_first, hit_r, hit_l) & ~is_leaf
+        stack = stack.at[sp].set(second)
+        sp = sp + hit_second.astype(jnp.int32)
+        stack = stack.at[sp].set(first)
+        sp = sp + hit_first.astype(jnp.int32)
+        return sp, stack, best_t, best_prim, best_u, best_v
 
     stack0 = jnp.zeros((MAX_STACK,), jnp.int32)
     # seed with root iff the root AABB is hit

@@ -34,6 +34,7 @@ import numpy as np
 
 from ..config import FrameConfig, RenderMode
 from ..ops import bsdf as B
+from ..scene.materials import Archetype
 from ..ops.intersect import RT_MAX, make_intersectors
 from ..ops.light_sampling import env_radiance, sample_lights
 from ..utils.math import (
@@ -129,6 +130,13 @@ def trace_wavefront(
     d_rec = cfg.max_train_records_per_ray if train else 1
     closest_hit, any_hit = make_intersectors(scene.tris, scene.bvh)
     num_lights = scene.lights.num
+
+    # curve primitives (hair): second intersection stream + chiang BSDF
+    # (static branch — compiled in only when the scene has strands)
+    has_curves = scene.curves is not None
+    if has_curves:
+        from ..ops import curve_intersect as IC
+        from ..ops import hair_bsdf as H
 
     truncate = train or cfg.render_mode != RenderMode.NO_CACHE
     direct_lighting = cfg.direct_lighting and num_lights > 0
@@ -238,7 +246,19 @@ def trace_wavefront(
             tmax = jnp.where(can_step, jnp.minimum(tmax, dist_sample), tmax)
 
         hit = closest_hit(s.pos, s.wi, tmin, tmax)
-        hit_valid = hit.valid & active
+        is_curve = jnp.zeros((n,), bool)
+        if has_curves:
+            c_hit = IC.intersect_curves_bvh(
+                s.pos, s.wi, scene.curve_bvh, scene.curves, tmin, tmax
+            )
+            tri_t = jnp.where(hit.valid, hit.t, RT_MAX)
+            cur_t = jnp.where(c_hit.valid, c_hit.t, RT_MAX)
+            is_curve = c_hit.valid & (cur_t < tri_t)
+            hit = hit._replace(t=jnp.where(is_curve, c_hit.t, hit.t))
+            any_valid = hit.valid | is_curve
+        else:
+            any_valid = hit.valid
+        hit_valid = any_valid & active
 
         tri = jnp.maximum(hit.prim, 0)
         w_bary = 1.0 - hit.u - hit.v
@@ -252,6 +272,12 @@ def trace_wavefront(
             + hit.v[..., None] * scene.n2[tri]
         )
         mid = scene.tri_material[tri]
+        if has_curves:
+            cprim = jnp.maximum(c_hit.prim, 0)
+            cframe = IC.curve_shading_frame(scene.curves, cprim, p_hit)
+            ng = jnp.where(is_curve[..., None], cframe.normal, ng)
+            ns = jnp.where(is_curve[..., None], cframe.normal, ns)
+            mid = jnp.where(is_curve, scene.curves.material_id[cprim], mid)
         params = B.MaterialParams(
             archetype=scene.mat_archetype[mid],
             albedo=scene.mat_albedo[mid],
@@ -294,7 +320,7 @@ def trace_wavefront(
             walk = walk + in_medium.astype(jnp.int32)
             # scatter-miss: the free-flight ray ended inside the medium
             # (miss.cu stepVolume:62-79): advance, reweight, new HG direction
-            scatter_miss = can_step & ~hit.valid
+            scatter_miss = can_step & ~any_valid
             pos_volume = jnp.where(
                 scatter_miss[..., None],
                 s.pos + s.wi * dist_sample[..., None],
@@ -335,7 +361,7 @@ def trace_wavefront(
         s = s._replace(throughput=throughput0)
 
         # ---- miss: environment ---------------------------------------
-        miss = active & ~hit.valid & ~scatter_miss
+        miss = active & ~any_valid & ~scatter_miss
         radiance = s.radiance
         env_em, env_pdf, has_env = env_radiance(scene.lights, s.wi)
         if has_env:
@@ -402,6 +428,51 @@ def trace_wavefront(
         eta_i = jnp.where(front | thin, top, params.ior)
         eta_t = jnp.where(front | thin, params.ior, below)
         sample = B.bsdf_sample(params, wo, ns, ng, xi, eta_i, eta_t)
+        if has_curves:
+            # chiang hair BSDF on curve hits, in the fiber frame
+            # (bsdf_hair.mdl; frame = tangent + per-strand azimuthal basis)
+            hpar = H.HairParams(
+                sigma_a=scene.mat_hair_absorption[mid],
+                ior=scene.mat_ior[mid],
+                beta_m=scene.mat_hair_roughness[mid][..., 0],
+                beta_n=scene.mat_hair_roughness[mid][..., 1],
+                cuticle_angle=scene.mat_hair_cuticle[mid],
+                diffuse_weight=scene.mat_hair_diffuse_weight[mid],
+                diffuse_tint=scene.mat_albedo[mid] * cframe.color,
+            )
+            ct, cb1, cb2 = cframe.tangent, cframe.b1, cframe.b2
+
+            def to_fiber(v):
+                return jnp.stack(
+                    [dot(v, ct), dot(v, cb1), dot(v, cb2)], axis=-1
+                )
+
+            def from_fiber(v):
+                return (
+                    v[..., 0:1] * ct + v[..., 1:2] * cb1 + v[..., 2:3] * cb2
+                )
+
+            # h: normalized azimuthal offset of the ray across the fiber
+            b_view = jnp.cross(s.wi, ct)
+            b_view = b_view / jnp.maximum(
+                jnp.linalg.norm(b_view, axis=-1, keepdims=True), 1e-9
+            )
+            h_fib = jnp.clip(dot(cframe.normal, b_view), -1.0, 1.0)
+            wo_l = to_fiber(wo)
+            wi_l, w_over_h, pdf_h = H.hair_sample(hpar, wo_l, h_fib, xi)
+            is_hair = is_curve & (params.archetype == int(Archetype.HAIR))
+            sample = B.BSDFSample(
+                wi=jnp.where(is_hair[..., None], from_fiber(wi_l), sample.wi),
+                bsdf_over_pdf=jnp.where(
+                    is_hair[..., None], w_over_h, sample.bsdf_over_pdf
+                ),
+                pdf=jnp.where(is_hair, pdf_h, sample.pdf),
+                event=jnp.where(
+                    is_hair & (pdf_h > 0.0),
+                    np.int32(B.BSDF_EVENT_GLOSSY_REFLECTION),
+                    jnp.where(is_hair, np.int32(B.BSDF_EVENT_ABSORB), sample.event),
+                ),
+            )
         # volume scatter steps keep the previous surface event/pdf for MIS
         # (stepVolume leaves eventType untouched, miss.cu:62-79)
         event = jnp.where(
@@ -414,6 +485,25 @@ def trace_wavefront(
 
         # ---- aux + cache-vis query (hit.cu:888-898) -------------------
         aux = B.bsdf_aux(params)
+        if has_curves:
+            hair_rough = jnp.stack(
+                [
+                    scene.mat_hair_roughness[mid][..., 0, 0],
+                    scene.mat_hair_roughness[mid][..., 0, 1],
+                ],
+                axis=-1,
+            )
+            aux = B.BSDFAux(
+                albedo_diffuse=jnp.where(
+                    is_hair[..., None], hpar.diffuse_tint, aux.albedo_diffuse
+                ),
+                albedo_glossy=jnp.where(
+                    is_hair[..., None],
+                    jnp.exp(-hpar.sigma_a) * cframe.color,
+                    aux.albedo_glossy,
+                ),
+                roughness=jnp.where(is_hair[..., None], hair_rough, aux.roughness),
+            )
         query_here = make_query(p_hit, wo, ns_q, aux, cfg.position_scale)
         first_ns = hit_valid & ~s.recorded_first & ~event_specular
         cache_vis_query = jnp.where(
@@ -488,6 +578,12 @@ def trace_wavefront(
             seed, xi_l = R.rng4(seed)
             ls = sample_lights(scene.lights, p_hit, xi_l)
             ev = B.bsdf_eval(params, wo, ls.direction, ns, eta_i, eta_t)
+            if has_curves:
+                f_h, pdf_eh = H.hair_eval(hpar, wo_l, to_fiber(ls.direction), h_fib)
+                ev = B.BSDFEval(
+                    bsdf=jnp.where(is_hair[..., None], f_h, ev.bsdf),
+                    pdf=jnp.where(is_hair, pdf_eh, ev.pdf),
+                )
             do_nee = alive & hit_valid & event_non_dirac
             valid_ls = (ls.pdf > 0.0) & (jnp.max(ev.bsdf, axis=-1) > 0.0) & (ev.pdf > 0.0)
             shadow_tmax = jnp.where(
@@ -496,6 +592,11 @@ def trace_wavefront(
             occluded = any_hit(
                 p_hit, ls.direction, jnp.full((n,), eps), shadow_tmax
             )
+            if has_curves:
+                occluded = occluded | IC.occluded_curves_bvh(
+                    p_hit, ls.direction, scene.curve_bvh, scene.curves,
+                    jnp.full((n,), eps), shadow_tmax,
+                )
             w_mis_l = jnp.where(
                 ls.is_singular, 1.0, balance_heuristic(ls.pdf, ev.pdf)
             )

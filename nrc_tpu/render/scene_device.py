@@ -40,9 +40,16 @@ class DeviceScene(NamedTuple):
     mat_sigma_a: jnp.ndarray            # [M, 3]
     mat_sigma_s: jnp.ndarray            # [M, 3]
     mat_volume_bias: jnp.ndarray        # [M]
+    # chiang hair parameters (curve primitives)
+    mat_hair_roughness: jnp.ndarray     # [M, 3, 2]
+    mat_hair_absorption: jnp.ndarray    # [M, 3]
+    mat_hair_cuticle: jnp.ndarray       # [M]
+    mat_hair_diffuse_weight: jnp.ndarray  # [M]
 
     lights: DeviceLights
     bvh: Optional[dict]
+    curves: Optional[object] = None     # ops.curve_intersect.CurveSoA
+    curve_bvh: Optional[dict] = None
 
     @property
     def num_triangles(self) -> int:
@@ -87,6 +94,15 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
             for k, v in build_bvh(scene.p0, scene.p1, scene.p2).items()
         }
 
+    curves = curve_bvh = None
+    if scene.curves is not None and scene.curves.num > 0:
+        from ..ops.curve_intersect import CurveSoA, build_curve_bvh
+
+        curves = CurveSoA.build(scene.curves)
+        curve_bvh = {
+            k: jnp.asarray(v) for k, v in build_curve_bvh(scene.curves).items()
+        }
+
     return DeviceScene(
         tris=TriSoA.build(scene.p0, scene.p1, scene.p2),
         n0=jnp.asarray(scene.n0),
@@ -103,6 +119,12 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
         mat_sigma_a=jnp.asarray(mt.sigma_a),
         mat_sigma_s=jnp.asarray(mt.sigma_s),
         mat_volume_bias=jnp.asarray(mt.volume_bias),
+        mat_hair_roughness=jnp.asarray(mt.hair_roughness),
+        mat_hair_absorption=jnp.asarray(mt.hair_absorption),
+        mat_hair_cuticle=jnp.asarray(mt.hair_cuticle_angle),
+        mat_hair_diffuse_weight=jnp.asarray(mt.hair_diffuse_weight),
         lights=upload_lights(scene.lights, lr),
         bvh=bvh,
+        curves=curves,
+        curve_bvh=curve_bvh,
     )

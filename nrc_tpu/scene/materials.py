@@ -32,6 +32,7 @@ class Archetype(enum.IntEnum):
     SPECULAR_REFLECT_TRANSMIT = 6  # ... scatter_reflect_transmit (glass)
     DIFFUSE_TRANSMISSION = 7   # df::diffuse_transmission_bsdf
     NULL_BSDF = 8              # emission-only materials (black bsdf ends path)
+    HAIR = 9                   # df::chiang_hair_bsdf (curve primitives)
 
 NUM_ARCHETYPES = len(Archetype)
 
@@ -59,6 +60,14 @@ class Material:
     sigma_s: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     volume_bias: float = 0.0   # HG phase anisotropy g
     cutout_opacity: float = 1.0
+    # chiang hair BSDF parameters (data/mdl/bsdf_hair.mdl); albedo doubles
+    # as the diffuse reflection tint
+    hair_roughness: Tuple[Tuple[float, float], ...] = (
+        (0.1, 0.1), (0.2, 0.2), (0.3, 0.3),
+    )  # (longitudinal, azimuthal) per lobe R / TT / TRT
+    hair_absorption: Tuple[float, float, float] = (0.02, 0.3, 0.6)
+    hair_cuticle_angle: float = 0.0524  # radians (3 deg default)
+    hair_diffuse_weight: float = 0.0
 
     @property
     def is_emissive(self) -> bool:
@@ -82,6 +91,10 @@ class MaterialTable:
     sigma_s: np.ndarray             # [M, 3] f32
     volume_bias: np.ndarray         # [M] f32
     cutout_opacity: np.ndarray      # [M] f32
+    hair_roughness: np.ndarray      # [M, 3, 2] f32
+    hair_absorption: np.ndarray     # [M, 3] f32
+    hair_cuticle_angle: np.ndarray  # [M] f32
+    hair_diffuse_weight: np.ndarray  # [M] f32
 
     @staticmethod
     def build(materials: list[Material]) -> "MaterialTable":
@@ -101,6 +114,18 @@ class MaterialTable:
             sigma_s=np.asarray([m.sigma_s for m in materials], np.float32),
             volume_bias=np.asarray([m.volume_bias for m in materials], np.float32),
             cutout_opacity=np.asarray([m.cutout_opacity for m in materials], np.float32),
+            hair_roughness=np.asarray(
+                [m.hair_roughness for m in materials], np.float32
+            ),
+            hair_absorption=np.asarray(
+                [m.hair_absorption for m in materials], np.float32
+            ),
+            hair_cuticle_angle=np.asarray(
+                [m.hair_cuticle_angle for m in materials], np.float32
+            ),
+            hair_diffuse_weight=np.asarray(
+                [m.hair_diffuse_weight for m in materials], np.float32
+            ),
         )
 
     @property

@@ -16,6 +16,8 @@ import os
 import re
 from typing import Dict, Optional, Tuple
 
+import numpy as np
+
 from .materials import Archetype, EmissionMode, Material
 
 _NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
@@ -26,7 +28,7 @@ def _parse_params(text: str) -> Dict[str, object]:
     params: Dict[str, object] = {}
     # color(...) defaults
     for m in re.finditer(
-        rf"uniform\s+color\s+(\w+)\s*=\s*color\(\s*({_NUM})(?:\s*,\s*({_NUM})\s*,\s*({_NUM}))?\s*\)",
+        rf"(?:uniform\s+)?color\s+(\w+)\s*=\s*color\(\s*({_NUM})(?:\s*,\s*({_NUM})\s*,\s*({_NUM}))?\s*\)",
         text,
     ):
         name = m.group(1)
@@ -35,11 +37,19 @@ def _parse_params(text: str) -> Dict[str, object]:
         else:
             v = float(m.group(2))
             params[name] = (v, v, v)
+    # float2 defaults (e.g. per-lobe hair roughness)
+    for m in re.finditer(
+        rf"(?:uniform\s+)?float2\s+(\w+)\s*=\s*float2\(\s*({_NUM})(?:\s*,\s*({_NUM}))?\s*\)",
+        text,
+    ):
+        a = float(m.group(2))
+        b = float(m.group(3)) if m.group(3) is not None else a
+        params[m.group(1)] = (a, b)
     # float defaults
-    for m in re.finditer(rf"uniform\s+float\s+(\w+)\s*=\s*({_NUM})", text):
+    for m in re.finditer(rf"(?:uniform\s+)?float\s+(\w+)\s*=\s*({_NUM})", text):
         params.setdefault(m.group(1), float(m.group(2)))
     # bool defaults
-    for m in re.finditer(r"uniform\s+bool\s+(\w+)\s*=\s*(true|false)", text):
+    for m in re.finditer(r"(?:uniform\s+)?bool\s+(\w+)\s*=\s*(true|false)", text):
         params.setdefault(m.group(1), m.group(2) == "true")
     return params
 
@@ -137,6 +147,62 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
 
     params = _parse_params(text)
     mat = Material(name=name or os.path.splitext(os.path.basename(path))[0])
+
+    # hair BSDF (material(hair: df::chiang_hair_bsdf(...)))
+    hm = re.search(r"hair\s*:\s*df::chiang_hair_bsdf\s*\(([^;]*)\)", text, re.S)
+    if hm:
+        args = hm.group(1)
+        mat.archetype = Archetype.HAIR
+
+        def f2(name, default):
+            mm = re.search(rf"{name}\s*:\s*([^,\n]+)", args)
+            if not mm:
+                return default
+            expr = mm.group(1).strip()
+            v = params.get(expr)
+            if isinstance(v, tuple) and len(v) == 2:
+                return v
+            fm = re.match(rf"float2\(\s*({_NUM})(?:\s*,\s*({_NUM}))?\s*\)", expr)
+            if fm:
+                a = float(fm.group(1))
+                return (a, float(fm.group(2)) if fm.group(2) else a)
+            return default
+
+        mat.hair_roughness = (
+            f2("roughness_R", (0.1, 0.1)),
+            f2("roughness_TT", (0.2, 0.2)),
+            f2("roughness_TRT", (0.3, 0.3)),
+        )
+        mm = re.search(r"diffuse_reflection_weight\s*:\s*([^,\n]+)", args)
+        if mm:
+            mat.hair_diffuse_weight = _resolve_float(mm.group(1), params, 0.0)
+        mm = re.search(r"diffuse_reflection_tint\s*:\s*([^,\n]+)", args)
+        if mm:
+            mat.albedo = _resolve_color(mm.group(1), params)
+        mm = re.search(r"cuticle_angle\s*:\s*([^,\n]+)", args)
+        if mm:
+            expr = mm.group(1).strip()
+            rm = re.match(r"math::radians\(\s*(\w+)\s*\)", expr)
+            deg = _resolve_float(rm.group(1), params, 3.0) if rm else None
+            mat.hair_cuticle_angle = (
+                float(np.radians(deg)) if deg is not None
+                else _resolve_float(expr, params, 0.0524)
+            )
+        # absorption: color(1.001) - parAbsorptionColor inversion
+        mm = re.search(r"absorption_coefficient\s*:\s*([^,\n]+)", args)
+        if mm:
+            expr = mm.group(1).strip()
+            im = re.match(rf"color\(\s*({_NUM})\s*\)\s*-\s*(\w+)", expr)
+            if im:
+                base = float(im.group(1))
+                col = _resolve_color(im.group(2), params)
+                mat.hair_absorption = tuple(max(base - c, 1e-4) for c in col)
+            else:
+                mat.hair_absorption = _resolve_color(expr, params)
+        mm = re.search(r"\bior\s*:\s*([^,\n]+)", args)
+        if mm:
+            mat.ior = _resolve_float(mm.group(1), params, 1.55)
+        return mat
 
     # scattering BSDF
     m = re.search(r"scattering\s*:\s*df::(\w+)\s*\(([^)]*(?:\([^)]*\)[^)]*)*)\)", text)

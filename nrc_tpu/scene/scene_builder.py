@@ -62,14 +62,23 @@ class Scene:
     lights: LightTable
     camera: Camera
     lens_shader: int = 0
+    # curve primitives (hair strands as rounded-cone soup; scene/hair.py)
+    curves: object = None  # Optional[CurveSegments]
 
     @property
     def num_triangles(self) -> int:
         return int(self.p0.shape[0])
 
     def aabb(self) -> tuple[np.ndarray, np.ndarray]:
+        if self.num_triangles == 0 and self.curves is not None:
+            lo = (self.curves.pa - self.curves.ra[:, None]).min(0)
+            hi = (self.curves.pa + self.curves.ra[:, None]).max(0)
+            return lo.astype(np.float32), hi.astype(np.float32)
         lo = np.minimum(np.minimum(self.p0.min(0), self.p1.min(0)), self.p2.min(0))
         hi = np.maximum(np.maximum(self.p0.max(0), self.p1.max(0)), self.p2.max(0))
+        if self.curves is not None and self.curves.num:
+            lo = np.minimum(lo, (self.curves.pa - self.curves.ra[:, None]).min(0))
+            hi = np.maximum(hi, (self.curves.pa + self.curves.ra[:, None]).max(0))
         return lo, hi
 
 
@@ -116,9 +125,28 @@ def build_scene(
     # ---- geometry -----------------------------------------------------
     meshes: List[geo.Mesh] = []
     mesh_material: List[int] = []
+    curve_parts = []
     for mdl in desc.models:
-        if mdl.kind in ("hair",):
-            continue  # curve primitives: later pass (sg::Curves)
+        if mdl.kind == "hair":
+            # model hair <thickness_scale> <mat> "<file.hair>"
+            # (sg::Curves::createHair, Curves.cpp:104-315)
+            from .hair import hair_to_segments, load_hair, transform_segments
+
+            path = None
+            for sp in search_paths:
+                p = os.path.join(sp, mdl.path) if sp else mdl.path
+                if os.path.isfile(p):
+                    path = p
+                    break
+            if path is None:
+                continue
+            seg = hair_to_segments(
+                load_hair(path),
+                material_id=mat_index.get(mdl.material_ref, default_mat),
+                thickness_scale=float(mdl.args[0]) if mdl.args else 1.0,
+            )
+            curve_parts.append(transform_segments(seg, mdl.matrix))
+            continue
         try:
             mesh = _make_mesh(mdl)
         except Exception:
@@ -126,6 +154,21 @@ def build_scene(
         mesh = geo.transform_mesh(mesh, mdl.matrix)
         meshes.append(mesh)
         mesh_material.append(mat_index.get(mdl.material_ref, default_mat))
+
+    curves = None
+    if curve_parts:
+        import dataclasses as _dc
+
+        first = curve_parts[0]
+        if len(curve_parts) > 1:
+            merged = {}
+            for f in _dc.fields(first):
+                merged[f.name] = np.concatenate(
+                    [getattr(cp, f.name) for cp in curve_parts]
+                )
+            curves = type(first)(**merged)
+        else:
+            curves = first
 
     tri_p, tri_n, tri_uv, tri_mat = [], [], [], []
     for mesh, mid in zip(meshes, mesh_material):
@@ -185,6 +228,7 @@ def build_scene(
         lights=light_table,
         camera=camera,
         lens_shader=lens,
+        curves=curves,
     )
 
 

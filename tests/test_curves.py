@@ -54,10 +54,14 @@ class TestRoundCone:
         np.testing.assert_allclose(float(hit.t[0]), 2.75, atol=1e-4)
         # normal points back toward the ray, tangent along the axis
         x = np.asarray(org[0] + hit.t[0] * d[0])
-        n, tang, u, v, col = curve_shading_frame(soa, hit.prim[:1], jnp.asarray(x)[None])
-        np.testing.assert_allclose(np.asarray(n)[0], [0, 0, 1], atol=1e-4)
-        np.testing.assert_allclose(np.abs(np.asarray(tang)[0, 0]), 1.0, atol=1e-5)
-        np.testing.assert_allclose(float(u[0]), 0.75, atol=1e-3)
+        fr = curve_shading_frame(soa, hit.prim[:1], jnp.asarray(x)[None])
+        np.testing.assert_allclose(np.asarray(fr.normal)[0], [0, 0, 1], atol=1e-4)
+        np.testing.assert_allclose(np.abs(np.asarray(fr.tangent)[0, 0]), 1.0, atol=1e-5)
+        np.testing.assert_allclose(float(fr.u_fiber[0]), 0.75, atol=1e-3)
+        # azimuthal frame is orthonormal with the tangent
+        np.testing.assert_allclose(
+            np.asarray(fr.b1[0]) @ np.asarray(fr.tangent[0]), 0.0, atol=1e-5
+        )
 
     def test_cone_taper(self):
         # radius 0.5 -> 0: rays near the thin end must clear a 0.5 cylinder
