@@ -112,6 +112,12 @@ class NetworkConfig:
     hash_log2_size: int = 15
     hash_base_resolution: int = 16
     hash_per_level_scale: float = 2.0
+    # P6 (SURVEY §2.5): shard the hash tables over this mesh axis. None =
+    # replicated (single chip / small tables). When set, lookups exchange
+    # (index, weight) via all_gather and partial features via psum_scatter;
+    # autodiff routes the gradient scatter-add back through the adjoint
+    # collectives. Enables tables far beyond one chip's HBM.
+    hash_shard_axis: str = None
 
     @property
     def learning_rate(self) -> float:
@@ -184,6 +190,14 @@ class FrameConfig:
     # when some material declares volume coefficients (set from the host-side
     # material table at scene build).
     has_volumes: bool = False
+    # Static branch switches for texture sampling / stochastic cutout
+    # transparency: compiled in only when some material binds a texture /
+    # declares cutout opacity (scalar or texture).
+    has_textures: bool = False
+    has_cutout: bool = False
+    # Layered/mixed/modified materials (two-lobe blends, angular factors)
+    # compile in only when the scene uses MDL combinators.
+    has_layered: bool = False
     # Per-scene position normalization applied to radiance-query positions.
     # The reference hardcodes 0.005 for Cornell (``hit.cu:595-597``).
     position_scale: float = 0.005

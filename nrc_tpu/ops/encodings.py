@@ -118,38 +118,86 @@ def _hash_coords(ix, iy, iz, log2_size: int):
     return (h & jnp.uint32(2 ** log2_size - 1)).astype(jnp.int32)
 
 
+def _corner_index_weight(pos: jnp.ndarray, level: int, corner: int,
+                         cfg: NetworkConfig):
+    """Hash index + trilinear weight of one voxel corner at one level."""
+    res = int(cfg.hash_base_resolution * (cfg.hash_per_level_scale ** level))
+    p = pos * res
+    p0 = jnp.floor(p)
+    frac = p - p0
+    p0 = p0.astype(jnp.int32)
+    dx, dy, dz = (corner & 1), ((corner >> 1) & 1), ((corner >> 2) & 1)
+    idx = _hash_coords(
+        p0[..., 0] + dx, p0[..., 1] + dy, p0[..., 2] + dz, cfg.hash_log2_size
+    )
+    w = (
+        jnp.where(dx, frac[..., 0], 1.0 - frac[..., 0])
+        * jnp.where(dy, frac[..., 1], 1.0 - frac[..., 1])
+        * jnp.where(dz, frac[..., 2], 1.0 - frac[..., 2])
+    )
+    return idx, w
+
+
 def hash_grid_lookup(
     pos: jnp.ndarray, params: HashGridParams, cfg: NetworkConfig
 ) -> jnp.ndarray:
     """Trilinear hash-grid features. pos: [..., 3] in roughly [0, 1]^3.
 
     -> [..., n_levels * n_features]. Gathers run as XLA dynamic-gathers over
-    the HBM-resident tables; the sharded multi-host variant (SURVEY P6)
-    all-to-alls lookups by table shard.
+    the HBM-resident tables; the sharded multi-host variant (SURVEY P6) is
+    ``sharded_hash_grid_lookup`` below.
     """
-    n_levels = cfg.hash_n_levels
     feats = []
-    for level in range(n_levels):
-        res = int(cfg.hash_base_resolution * (cfg.hash_per_level_scale ** level))
-        p = pos * res
-        p0 = jnp.floor(p)
-        frac = p - p0
-        p0 = p0.astype(jnp.int32)
+    for level in range(cfg.hash_n_levels):
         f_acc = 0.0
         for corner in range(8):
-            dx, dy, dz = (corner & 1), ((corner >> 1) & 1), ((corner >> 2) & 1)
-            cx = p0[..., 0] + dx
-            cy = p0[..., 1] + dy
-            cz = p0[..., 2] + dz
-            idx = _hash_coords(cx, cy, cz, cfg.hash_log2_size)
-            w = (
-                jnp.where(dx, frac[..., 0], 1.0 - frac[..., 0])
-                * jnp.where(dy, frac[..., 1], 1.0 - frac[..., 1])
-                * jnp.where(dz, frac[..., 2], 1.0 - frac[..., 2])
-            )
+            idx, w = _corner_index_weight(pos, level, corner, cfg)
             f_acc = f_acc + w[..., None] * params.table[level, idx]
         feats.append(f_acc)
     return jnp.concatenate(feats, axis=-1)
+
+
+def sharded_hash_grid_lookup(
+    pos: jnp.ndarray, params: HashGridParams, cfg: NetworkConfig,
+    axis_name: str,
+) -> jnp.ndarray:
+    """Hash-grid lookup with tables SHARDED over a mesh axis (SURVEY P6 —
+    the capability the reference lacks: tcnn's table is single-GPU HBM,
+    ``NRCNetworkConfigs.h:96-105``).
+
+    Runs inside ``shard_map``. ``params.table`` is this device's block
+    [L, S/D, F] of the global [L, S, F] table (block row-sharding: global
+    row = shard_id * S/D + local row). Per level:
+
+    1. every device all_gathers all devices' (corner index, trilinear
+       weight) pairs — small int/f32 traffic over ICI;
+    2. computes the weighted partial feature sums for the rows IT owns;
+    3. ``psum_scatter`` routes each requester's completed features back.
+
+    The whole dance is differentiable: the adjoint of ``psum_scatter`` is
+    ``all_gather`` and the adjoint of the masked gather is the scatter-add
+    into the local shard — i.e. autodiff derives the distributed
+    embedding-gradient exchange for free.
+    """
+    local_size = params.table.shape[1]
+    my = jax.lax.axis_index(axis_name)
+    b = pos.shape[0]
+    feats = []
+    for level in range(cfg.hash_n_levels):
+        part = None
+        for corner in range(8):
+            idx, w = _corner_index_weight(pos, level, corner, cfg)
+            g_idx = jax.lax.all_gather(idx, axis_name)   # [D, B]
+            g_w = jax.lax.all_gather(w, axis_name)       # [D, B]
+            owner = g_idx // local_size
+            local = g_idx - owner * local_size
+            f = params.table[level, jnp.clip(local, 0, local_size - 1)]
+            mine = (owner == my)[..., None]
+            contrib = jnp.where(mine, g_w[..., None] * f, 0.0)
+            part = contrib if part is None else part + contrib
+        # [D, B, F] partial sums -> each device receives its own [B, F]
+        feats.append(jax.lax.psum_scatter(part, axis_name, scatter_dimension=0))
+    return jnp.concatenate(feats, axis=-1).reshape(b, -1)
 
 
 def encode_hash(
@@ -161,7 +209,10 @@ def encode_hash(
     [-0.05, 0.05] for Cornell); re-center into [0,1]^3 for the grid.
     """
     pos01 = query[..., POS] * 5.0 + 0.5
-    grid = hash_grid_lookup(pos01, params, cfg)
+    if cfg.hash_shard_axis is not None:
+        grid = sharded_hash_grid_lookup(pos01, params, cfg, cfg.hash_shard_axis)
+    else:
+        grid = hash_grid_lookup(pos01, params, cfg)
     blob = one_blob(_normalized_blob_inputs(query), cfg.oneblob_n_bins)
     ident = query[..., 9:15]
     return jnp.concatenate([grid, blob, ident], axis=-1)

@@ -47,6 +47,7 @@ DENOM_EPS = 1.0e-6
         "inv_integral", "spot_cos_half", "spot_angle_half", "spot_exponent",
         "material_id", "emission_radiance", "tri_start", "tri_count",
         "mesh_p0", "mesh_p1", "mesh_p2", "mesh_n0", "mesh_n1", "mesh_n2",
+        "mesh_uv0", "mesh_uv1", "mesh_uv2",
         "mesh_prob", "mesh_alias", "env_texture", "env_prob", "env_alias",
         "env_pdf", "ies_texture", "ies_index",
     ),
@@ -83,6 +84,9 @@ class DeviceLights:
     mesh_n1: jnp.ndarray
     mesh_n2: jnp.ndarray
     # per-light padded alias tables over triangles [L, Tmax]
+    mesh_uv0: jnp.ndarray       # [T, 2] texcoords (textured mesh-light EDFs)
+    mesh_uv1: jnp.ndarray
+    mesh_uv2: jnp.ndarray
     mesh_prob: jnp.ndarray
     mesh_alias: jnp.ndarray
     # environment (dummy 1x1 when absent)
@@ -168,6 +172,7 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
             tri_start=j(z(1), jnp.int32), tri_count=j(z(1), jnp.int32),
             mesh_p0=j(z((1, 3))), mesh_p1=j(z((1, 3))), mesh_p2=j(z((1, 3))),
             mesh_n0=j(z((1, 3))), mesh_n1=j(z((1, 3))), mesh_n2=j(z((1, 3))),
+            mesh_uv0=j(z((1, 2))), mesh_uv1=j(z((1, 2))), mesh_uv2=j(z((1, 2))),
             mesh_prob=j(mesh_prob), mesh_alias=j(mesh_alias, jnp.int32),
             env_texture=j(env_texture), env_prob=j(env_prob),
             env_alias=j(env_alias, jnp.int32), env_pdf=j(env_pdf),
@@ -195,6 +200,9 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
         tri_count=j(np.maximum(lt.tri_count, 1), jnp.int32),
         mesh_p0=j(pad1(lt.mesh_p0)), mesh_p1=j(pad1(lt.mesh_p1)), mesh_p2=j(pad1(lt.mesh_p2)),
         mesh_n0=j(pad1(lt.mesh_n0)), mesh_n1=j(pad1(lt.mesh_n1)), mesh_n2=j(pad1(lt.mesh_n2)),
+        mesh_uv0=j(pad1(lt.mesh_uv0 if lt.mesh_uv0 is not None else np.zeros((0, 2), np.float32))),
+        mesh_uv1=j(pad1(lt.mesh_uv1 if lt.mesh_uv1 is not None else np.zeros((0, 2), np.float32))),
+        mesh_uv2=j(pad1(lt.mesh_uv2 if lt.mesh_uv2 is not None else np.zeros((0, 2), np.float32))),
         mesh_prob=j(mesh_prob),
         mesh_alias=j(mesh_alias, jnp.int32),
         env_texture=j(env_texture),
@@ -219,11 +227,15 @@ def sample_lights(
     lights: DeviceLights,
     pos: jnp.ndarray,       # [N, 3] surface positions
     xi: jnp.ndarray,        # [N, 4] uniforms (light choice + position)
+    tex_ctx=None,           # (atlas, [L] emission_tex ids, [L, 6] uv_xf)
 ) -> LightSample:
     """Pick one of L lights uniformly and sample it (``hit.cu:350-362``).
 
     The 1/L selection probability is compensated by the caller multiplying
-    by numLights (``hit.cu:424-426``).
+    by numLights (``hit.cu:424-426``). ``tex_ctx`` enables textured
+    mesh-light EDFs: the sampled point's texcoord modulates the radiance
+    (the reference interpolates attributes + evaluates the full MDL EDF in
+    ``__direct_callable__light_mesh``, hit.cu:1545-1651).
     """
     n = pos.shape[0]
     num = lights.num
@@ -347,6 +359,17 @@ def sample_lights(
         pdf_m = dist * dist / denom
         # diffuse EDF: radiance = emission_radiance (frontface only)
         radiance = lights.emission_radiance[idx]
+        if tex_ctx is not None:
+            from .texture import apply_uv_transform, sample_bilinear
+
+            atlas, l_tex, l_xf = tex_ctx
+            uv_s = (
+                a[..., None] * lights.mesh_uv0[flat]
+                + b[..., None] * lights.mesh_uv1[flat]
+                + g[..., None] * lights.mesh_uv2[flat]
+            )
+            uv_s = apply_uv_transform(uv_s, l_xf[idx])
+            radiance = radiance * sample_bilinear(atlas, l_tex[idx], uv_s)[..., :3]
         valid = (cos_l > DENOM_EPS) & (dist > DENOM_EPS) & (pdf_m > DENOM_EPS)
         rop = safe_div(radiance, pdf_m[..., None])
 

@@ -1,0 +1,77 @@
+"""Device texture lookups: software bilinear/trilinear fetch from the atlas.
+
+TPU-native replacement for CUDA texture objects + the MDL texture runtime's
+``tex_lookup_float4_2d`` (``nrc/shaders/texture_lookup.h``): wrap-repeat
+addressing, bilinear filtering, optional mip level — implemented as masked
+gathers from the flat atlas (``nrc_tpu/scene/texture.py``). Gathers are VPU
+(8,128)-lane loads; for wavefront batches the four corner fetches fuse into
+the surrounding shading code under jit.
+
+``tex_id`` rows with -1 return white (1,1,1,1), which lets material code
+multiply unconditionally instead of branching (no divergence)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _wrap(i: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    # wrap_repeat (MDL default): floored modulo
+    return jnp.remainder(i, jnp.maximum(n, 1))
+
+
+def sample_bilinear(atlas: dict, tex_id: jnp.ndarray, uv: jnp.ndarray,
+                    lod: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Bilinear RGBA fetch. tex_id [N] i32 (-1 = none), uv [N, 2], optional
+    integer lod [N] (clamped to the texture's chain). Returns [N, 4]."""
+    has = tex_id >= 0
+    tid = jnp.maximum(tex_id, 0)
+    base = atlas["tex_level_base"][tid]
+    nlev = atlas["tex_num_levels"][tid]
+    if lod is None:
+        li = base
+    else:
+        li = base + jnp.clip(lod, 0, nlev - 1)
+    w = atlas["level_w"][li]
+    h = atlas["level_h"][li]
+    off = atlas["level_offset"][li]
+
+    x = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    ix0 = _wrap(x0.astype(jnp.int32), w)
+    iy0 = _wrap(y0.astype(jnp.int32), h)
+    ix1 = _wrap(ix0 + 1, w)
+    iy1 = _wrap(iy0 + 1, h)
+
+    tx = atlas["texels"]
+
+    def fetch(iy, ix):
+        idx = jnp.where(has, off + iy * w + ix, 0)  # texel 0 = white
+        return tx[idx]
+
+    c00 = fetch(iy0, ix0)
+    c01 = fetch(iy0, ix1)
+    c10 = fetch(iy1, ix0)
+    c11 = fetch(iy1, ix1)
+    out = (
+        c00 * (1.0 - fx) * (1.0 - fy)
+        + c01 * fx * (1.0 - fy)
+        + c10 * (1.0 - fx) * fy
+        + c11 * fx * fy
+    )
+    return jnp.where(has[..., None], out, 1.0)
+
+
+def apply_uv_transform(uv: jnp.ndarray, xf: jnp.ndarray) -> jnp.ndarray:
+    """MDL ``base::rotation_translation_scale`` restricted to the uv plane
+    (rotation about w): uv' = R(rot_z) @ (uv * scale) + translation.
+    xf rows: [scale_u, scale_v, trans_u, trans_v, cos_rz, sin_rz]."""
+    s = uv * xf[..., 0:2]
+    c, sn = xf[..., 4], xf[..., 5]
+    u = c * s[..., 0] - sn * s[..., 1]
+    v = sn * s[..., 0] + c * s[..., 1]
+    return jnp.stack([u, v], axis=-1) + xf[..., 2:4]

@@ -107,6 +107,7 @@ class _State(NamedTuple):
     bias_stack: jnp.ndarray     # [N, 4] HG anisotropy per level
     walk: jnp.ndarray           # [N] volume random-walk steps taken
     stack_idx: jnp.ndarray      # [N]
+    pass_dist: jnp.ndarray      # [N] distance through cutout passthroughs
     last_render_throughput: jnp.ndarray
     render_query: jnp.ndarray
     cache_vis_query: jnp.ndarray
@@ -141,6 +142,52 @@ def trace_wavefront(
     truncate = train or cfg.render_mode != RenderMode.NO_CACHE
     direct_lighting = cfg.direct_lighting and num_lights > 0
     eps = cfg.scene_epsilon
+
+    # Texture sampling + stochastic cutout transparency compile in only for
+    # scenes that bind textures / declare cutout opacity (config static flags;
+    # reference: MDL texture runtime + __anyhit__radiance_cutout,
+    # hit.cu:1400-1423).
+    has_tex = cfg.has_textures
+    has_cutout = cfg.has_cutout
+    if has_tex or has_cutout:
+        from ..ops.texture import apply_uv_transform, sample_bilinear
+
+    # MDL combinator materials (layers/mixes/modifiers) switch the shading
+    # calls to the two-lobe blended family (ops/layered.py) — static branch,
+    # zero cost for single-lobe scenes like Cornell.
+    has_layered = cfg.has_layered
+    if has_layered:
+        from ..ops import layered as LY
+
+    def interp_uv(prim, bu, bv):
+        """Material-placed texcoord at a triangle hit."""
+        wb = 1.0 - bu - bv
+        uv = (
+            wb[..., None] * scene.uv0[prim]
+            + bu[..., None] * scene.uv1[prim]
+            + bv[..., None] * scene.uv2[prim]
+        )
+        return apply_uv_transform(uv, scene.mat_uv_xf[scene.tri_material[prim]])
+
+    def cutout_opacity_at(prim, bu, bv):
+        """cutout_opacity (scalar x texture mono average) at a hit."""
+        m2 = scene.tri_material[prim]
+        rgba = sample_bilinear(
+            scene.atlas, scene.mat_cutout_tex[m2], interp_uv(prim, bu, bv)
+        )
+        return scene.mat_cutout_opacity[m2] * jnp.mean(rgba[..., :3], axis=-1)
+
+    # textured mesh-light EDFs sampled by NEE (hit.cu:1545-1651)
+    nee_tex_ctx = None
+    if has_tex and num_lights:
+        l_mid = jnp.maximum(scene.lights.material_id, 0)
+        nee_tex_ctx = (
+            scene.atlas,
+            jnp.where(
+                scene.lights.material_id >= 0, scene.mat_emission_tex[l_mid], -1
+            ),
+            scene.mat_uv_xf[l_mid],
+        )
 
     if unbiased is None:
         unbiased = jnp.zeros((n,), bool)
@@ -181,6 +228,7 @@ def trace_wavefront(
         bias_stack=jnp.zeros((n, 4), jnp.float32),
         walk=jnp.zeros((n,), jnp.int32),
         stack_idx=jnp.zeros((n,), jnp.int32),
+        pass_dist=jnp.zeros((n,), jnp.float32),
         last_render_throughput=zero3(),
         render_query=jnp.zeros((n, QUERY_DIMS), jnp.float32),
         cache_vis_query=jnp.zeros((n, QUERY_DIMS), jnp.float32),
@@ -278,13 +326,57 @@ def trace_wavefront(
             ng = jnp.where(is_curve[..., None], cframe.normal, ng)
             ns = jnp.where(is_curve[..., None], cframe.normal, ns)
             mid = jnp.where(is_curve, scene.curves.material_id[cprim], mid)
+
+        # ---- textures + stochastic cutout (hit.cu:1400-1423) ----------
+        # A cutout surface passes the ray through with probability
+        # 1 - opacity: the lane keeps its direction/throughput/MIS state and
+        # re-traces from the hit point next bounce (the wavefront equivalent
+        # of optixIgnoreIntersection in the anyhit program).
+        albedo = scene.mat_albedo[mid]
+        passthrough = jnp.zeros((n,), bool)
+        if has_tex or has_cutout:
+            uv_hit = interp_uv(tri, hit.u, hit.v)
+        if has_tex:
+            tex_rgb = sample_bilinear(
+                scene.atlas, scene.mat_albedo_tex[mid], uv_hit
+            )[..., :3]
+            albedo = albedo * jnp.where(is_curve[..., None], 1.0, tex_rgb)
+        if has_cutout:
+            opacity = cutout_opacity_at(tri, hit.u, hit.v)
+            seed, u_cut = R.rng(seed)
+            passthrough = hit_valid & ~is_curve & (u_cut >= opacity)
+            hit_valid = hit_valid & ~passthrough
+        # cumulative distance across passthrough segments: the reference's
+        # single optixTrace accumulates t across ignored anyhits, so the
+        # area-spread distances must include it (hit.cu:536,569)
+        t_eff = hit.t + s.pass_dist if has_cutout else hit.t
+
         params = B.MaterialParams(
             archetype=scene.mat_archetype[mid],
-            albedo=scene.mat_albedo[mid],
+            albedo=albedo,
             roughness=scene.mat_roughness[mid],
             ior=scene.mat_ior[mid],
             thin_walled=scene.mat_thin_walled[mid],
         )
+        if has_layered:
+            params2 = B.MaterialParams(
+                archetype=scene.mat_archetype2[mid],
+                albedo=scene.mat_albedo2[mid],
+                roughness=scene.mat_roughness2[mid],
+                ior=scene.mat_ior[mid],
+                thin_walled=scene.mat_thin_walled[mid],
+            )
+            bp = LY.BlendParams(
+                blend_mode=scene.mat_blend_mode[mid],
+                w1=scene.mat_blend_w1[mid],
+                w2=scene.mat_blend_w2[mid],
+                blend_ior=scene.mat_blend_ior[mid],
+                curve=scene.mat_curve[mid],
+                mod_mode=scene.mat_mod_mode[mid],
+                mod_a=scene.mat_mod_a[mid],
+                mod_b=scene.mat_mod_b[mid],
+                mod_exp=scene.mat_mod_exp[mid],
+            )
         front = dot(wo, ng) >= 0.0
         flip = ~front
         ns_q = jnp.where(flip[..., None], -ns, ns)  # query normal (hit.cu:600)
@@ -306,7 +398,7 @@ def trace_wavefront(
             # trans/P(d>t) (the reference multiplies bare trans at hit.cu:692,
             # double-attenuating scattering media; we use the unbiased weight,
             # which reduces to the reference's for absorption-only media).
-            in_medium = (s.stack_idx > 0) & hit_valid
+            in_medium = (s.stack_idx > 0) & (hit_valid | passthrough)
             trans_hit = jnp.exp(-sigma_t * hit.t[..., None])
             p_surv = jnp.sum(pdf_volume * trans_hit, axis=-1)
             w_hit = jnp.where(
@@ -383,6 +475,10 @@ def trace_wavefront(
 
         # ---- emission of hit surface (mesh lights, hit.cu:738-821) ----
         em_rad = scene.mat_emission_radiance[mid]
+        if has_tex:
+            em_rad = em_rad * sample_bilinear(
+                scene.atlas, scene.mat_emission_tex[mid], uv_hit
+            )[..., :3]
         light_idx = scene.tri_light[tri]
         area = scene.lights.area[jnp.maximum(light_idx, 0)] if num_lights else jnp.ones_like(hit.t)
         cos_e = dot(ns, wo)
@@ -403,17 +499,25 @@ def trace_wavefront(
         abs_cos = jnp.abs(dot(wo, ns))
         if first:
             threshold = sqrt_c * safe_div(
-                hit.t, jnp.sqrt(4.0 * jnp.pi * jnp.maximum(abs_cos, 1e-12))
+                t_eff, jnp.sqrt(4.0 * jnp.pi * jnp.maximum(abs_cos, 1e-12))
             )
             area_threshold = jnp.where(hit_valid, threshold, s.area_threshold)
             area_spread = s.area_spread
             terminate = jnp.zeros((n,), bool)
         else:
             area_threshold = s.area_threshold
+            if has_cutout:
+                # first REAL hit came after a cutout passthrough: the camera
+                # threshold (depth-0 formula) is still unset — set it now
+                need_thr = hit_valid & jnp.isinf(s.area_threshold)
+                thr0 = sqrt_c * safe_div(
+                    t_eff, jnp.sqrt(4.0 * jnp.pi * jnp.maximum(abs_cos, 1e-12))
+                )
+                area_threshold = jnp.where(need_thr, thr0, area_threshold)
             not_unbiased_suffix = ~(s.unbiased & s.suffix)
             prev_specular = (s.event & B.BSDF_EVENT_SPECULAR) != 0
             pdf_prev = jnp.where(s.pdf == 0.0, jnp.inf, s.pdf)
-            delta = safe_div(hit.t, jnp.sqrt(pdf_prev * jnp.maximum(abs_cos, 1e-12)))
+            delta = safe_div(t_eff, jnp.sqrt(pdf_prev * jnp.maximum(abs_cos, 1e-12)))
             accum = hit_valid & not_unbiased_suffix & ~prev_specular
             area_spread = s.area_spread + jnp.where(accum, delta, 0.0)
             terminate = accum & (area_spread > area_threshold)
@@ -427,7 +531,15 @@ def trace_wavefront(
         thin = params.thin_walled != 0
         eta_i = jnp.where(front | thin, top, params.ior)
         eta_t = jnp.where(front | thin, params.ior, below)
-        sample = B.bsdf_sample(params, wo, ns, ng, xi, eta_i, eta_t)
+        if has_layered:
+            seed, xi_lobe = R.rng(seed)
+            sample = LY.layered_sample(
+                params, params2, bp, wo, ns, ng,
+                jnp.concatenate([xi, xi_lobe[..., None]], axis=-1),
+                eta_i, eta_t,
+            )
+        else:
+            sample = B.bsdf_sample(params, wo, ns, ng, xi, eta_i, eta_t)
         if has_curves:
             # chiang hair BSDF on curve hits, in the fiber frame
             # (bsdf_hair.mdl; frame = tangent + per-strand azimuthal basis)
@@ -473,18 +585,23 @@ def trace_wavefront(
                     jnp.where(is_hair, np.int32(B.BSDF_EVENT_ABSORB), sample.event),
                 ),
             )
-        # volume scatter steps keep the previous surface event/pdf for MIS
-        # (stepVolume leaves eventType untouched, miss.cu:62-79)
+        # volume scatter steps and cutout passthroughs keep the previous
+        # surface event/pdf for MIS (stepVolume miss.cu:62-79; ignored anyhit)
         event = jnp.where(
             hit_valid,
             sample.event,
-            jnp.where(scatter_miss, s.event, np.int32(B.BSDF_EVENT_ABSORB)),
+            jnp.where(
+                scatter_miss | passthrough, s.event, np.int32(B.BSDF_EVENT_ABSORB)
+            ),
         )
         event_non_dirac = (event & B.BSDF_EVENT_NON_DIRAC) != 0
         event_specular = (event & B.BSDF_EVENT_SPECULAR) != 0
 
         # ---- aux + cache-vis query (hit.cu:888-898) -------------------
-        aux = B.bsdf_aux(params)
+        aux = (
+            LY.layered_aux(params, params2, bp, wo, ns)
+            if has_layered else B.bsdf_aux(params)
+        )
         if has_curves:
             hair_rough = jnp.stack(
                 [
@@ -576,8 +693,14 @@ def trace_wavefront(
         # ---- NEE / direct lighting (hit.cu:343-443, 1030-1056) --------
         if direct_lighting:
             seed, xi_l = R.rng4(seed)
-            ls = sample_lights(scene.lights, p_hit, xi_l)
-            ev = B.bsdf_eval(params, wo, ls.direction, ns, eta_i, eta_t)
+            ls = sample_lights(scene.lights, p_hit, xi_l, tex_ctx=nee_tex_ctx)
+            ev = (
+                LY.layered_eval(
+                    params, params2, bp, wo, ls.direction, ns, eta_i, eta_t
+                )
+                if has_layered
+                else B.bsdf_eval(params, wo, ls.direction, ns, eta_i, eta_t)
+            )
             if has_curves:
                 f_h, pdf_eh = H.hair_eval(hpar, wo_l, to_fiber(ls.direction), h_fib)
                 ev = B.BSDFEval(
@@ -589,9 +712,32 @@ def trace_wavefront(
             shadow_tmax = jnp.where(
                 do_nee & valid_ls, ls.distance - eps, 0.0
             )
-            occluded = any_hit(
-                p_hit, ls.direction, jnp.full((n,), eps), shadow_tmax
-            )
+            if has_cutout:
+                # stochastic transparency along the shadow ray: a cutout
+                # surface blocks with probability = opacity, else the ray
+                # re-traces beyond it (__anyhit__shadow_cutout semantics,
+                # hit.cu:1447-1468). 3 hops cover stacked cutouts; the tail
+                # is treated as visible (transparent hits never occlude).
+                occluded = jnp.zeros((n,), bool)
+                sh_tmin = jnp.full((n,), eps)
+                sh_done = shadow_tmax <= 0.0
+                for _ in range(3):
+                    sh = closest_hit(
+                        p_hit, ls.direction, sh_tmin,
+                        jnp.where(sh_done, 0.0, shadow_tmax),
+                    )
+                    sh_prim = jnp.maximum(sh.prim, 0)
+                    op = cutout_opacity_at(sh_prim, sh.u, sh.v)
+                    seed, u_sh = R.rng(seed)
+                    blocked = sh.valid & (u_sh < op) & ~sh_done
+                    occluded = occluded | blocked
+                    cont = sh.valid & ~blocked & ~sh_done
+                    sh_tmin = jnp.where(cont, sh.t + eps, sh_tmin)
+                    sh_done = sh_done | ~cont
+            else:
+                occluded = any_hit(
+                    p_hit, ls.direction, jnp.full((n,), eps), shadow_tmax
+                )
             if has_curves:
                 occluded = occluded | IC.occluded_curves_bvh(
                     p_hit, ls.direction, scene.curve_bvh, scene.curves,
@@ -672,7 +818,7 @@ def trace_wavefront(
             alive = alive & ~kill  # unbiased end: mask stays 0
 
         return _State(
-            pos=jnp.where(hit_valid[..., None], p_hit, pos_volume),
+            pos=jnp.where((hit_valid | passthrough)[..., None], p_hit, pos_volume),
             wi=jnp.where(hit_valid[..., None], sample.wi, wi_volume),
             seed=seed,
             throughput=throughput,
@@ -680,7 +826,7 @@ def trace_wavefront(
             pdf=jnp.where(hit_valid, sample.pdf, s.pdf),
             event=event,
             alive=alive,
-            hit_before=hit_before | hit_valid,
+            hit_before=hit_before | hit_valid | passthrough,
             area_spread=area_spread2,
             area_threshold=area_threshold,
             recorded_first=recorded_first,
@@ -695,6 +841,11 @@ def trace_wavefront(
             bias_stack=bias_stack,
             walk=walk,
             stack_idx=new_idx,
+            pass_dist=(
+                jnp.where(passthrough, s.pass_dist + hit.t,
+                          jnp.where(hit_valid, 0.0, s.pass_dist))
+                if has_cutout else s.pass_dist
+            ),
             last_render_throughput=lrt,
             render_query=render_query,
             cache_vis_query=cache_vis_query,

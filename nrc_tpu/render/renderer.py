@@ -81,6 +81,15 @@ class Renderer:
                 np.max(scene.materials.sigma_a) + np.max(scene.materials.sigma_s)
                 > 0.0
             ),
+            has_textures=scene.materials.atlas.num_textures > 0,
+            has_layered=bool(
+                np.any(scene.materials.blend_mode != 0)
+                or np.any(scene.materials.mod_mode != 0)
+            ),
+            has_cutout=bool(
+                np.min(scene.materials.cutout_opacity) < 1.0
+                or np.max(scene.materials.cutout_tex) >= 0
+            ),
         )
 
         # Fused Pallas MLP (tiny-cuda-nn equivalent): 23% faster than the XLA

@@ -29,6 +29,9 @@ class DeviceScene(NamedTuple):
     n2: jnp.ndarray
     tri_material: jnp.ndarray  # [T] i32
     tri_light: jnp.ndarray     # [T] i32 (-1 when not emissive)
+    uv0: jnp.ndarray  # [T, 2] texcoords per vertex
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
 
     # material table (SoA)
     mat_archetype: jnp.ndarray          # [M] i32
@@ -45,6 +48,27 @@ class DeviceScene(NamedTuple):
     mat_hair_absorption: jnp.ndarray    # [M, 3]
     mat_hair_cuticle: jnp.ndarray       # [M]
     mat_hair_diffuse_weight: jnp.ndarray  # [M]
+    # texture bindings (-1 = none) + uv placement; atlas = flat texel pool
+    # (replaces CUDA texture objects, Device.cpp:3014-3283)
+    mat_albedo_tex: jnp.ndarray         # [M] i32
+    mat_cutout_tex: jnp.ndarray         # [M] i32
+    mat_emission_tex: jnp.ndarray       # [M] i32
+    mat_cutout_opacity: jnp.ndarray     # [M] f32
+    mat_uv_xf: jnp.ndarray              # [M, 6]
+    atlas: dict
+    # second lobe + blend/modifier descriptor (ops/layered.py)
+    mat_archetype2: jnp.ndarray         # [M] i32
+    mat_albedo2: jnp.ndarray            # [M, 3]
+    mat_roughness2: jnp.ndarray         # [M, 2]
+    mat_blend_mode: jnp.ndarray         # [M] i32
+    mat_blend_w1: jnp.ndarray           # [M, 3]
+    mat_blend_w2: jnp.ndarray           # [M, 3]
+    mat_blend_ior: jnp.ndarray          # [M]
+    mat_curve: jnp.ndarray              # [M, K, 3]
+    mat_mod_mode: jnp.ndarray           # [M] i32
+    mat_mod_a: jnp.ndarray              # [M, 3]
+    mat_mod_b: jnp.ndarray              # [M, 3]
+    mat_mod_exp: jnp.ndarray            # [M]
 
     lights: DeviceLights
     bvh: Optional[dict]
@@ -110,6 +134,9 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
         n2=jnp.asarray(scene.n2),
         tri_material=jnp.asarray(scene.material_id, jnp.int32),
         tri_light=jnp.asarray(scene.light_id, jnp.int32),
+        uv0=jnp.asarray(scene.uv0),
+        uv1=jnp.asarray(scene.uv1),
+        uv2=jnp.asarray(scene.uv2),
         mat_archetype=jnp.asarray(mt.archetype, jnp.int32),
         mat_albedo=jnp.asarray(mt.albedo),
         mat_roughness=jnp.asarray(mt.roughness),
@@ -123,6 +150,24 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
         mat_hair_absorption=jnp.asarray(mt.hair_absorption),
         mat_hair_cuticle=jnp.asarray(mt.hair_cuticle_angle),
         mat_hair_diffuse_weight=jnp.asarray(mt.hair_diffuse_weight),
+        mat_albedo_tex=jnp.asarray(mt.albedo_tex, jnp.int32),
+        mat_cutout_tex=jnp.asarray(mt.cutout_tex, jnp.int32),
+        mat_emission_tex=jnp.asarray(mt.emission_tex, jnp.int32),
+        mat_cutout_opacity=jnp.asarray(mt.cutout_opacity),
+        mat_uv_xf=jnp.asarray(mt.uv_xf),
+        atlas=mt.atlas.device_arrays(),
+        mat_archetype2=jnp.asarray(mt.archetype2, jnp.int32),
+        mat_albedo2=jnp.asarray(mt.albedo2),
+        mat_roughness2=jnp.asarray(mt.roughness2),
+        mat_blend_mode=jnp.asarray(mt.blend_mode, jnp.int32),
+        mat_blend_w1=jnp.asarray(mt.blend_w1),
+        mat_blend_w2=jnp.asarray(mt.blend_w2),
+        mat_blend_ior=jnp.asarray(mt.blend_ior),
+        mat_curve=jnp.asarray(mt.curve),
+        mat_mod_mode=jnp.asarray(mt.mod_mode, jnp.int32),
+        mat_mod_a=jnp.asarray(mt.mod_a),
+        mat_mod_b=jnp.asarray(mt.mod_b),
+        mat_mod_exp=jnp.asarray(mt.mod_exp),
         lights=upload_lights(scene.lights, lr),
         bvh=bvh,
         curves=curves,

@@ -55,6 +55,9 @@ class LightTable:
     mesh_n1: np.ndarray       # [T, 3]
     mesh_n2: np.ndarray       # [T, 3]
     mesh_cdf: np.ndarray      # [T] f32 per-light area CDF (upper edges, norm to 1)
+    mesh_uv0: np.ndarray = None  # [T, 2] f32 texcoords (textured EDFs)
+    mesh_uv1: np.ndarray = None
+    mesh_uv2: np.ndarray = None
     # environment texture + CDFs (at most one env light, always light 0 —
     # reference Device.cpp:1544 asserts env light is first)
     env_texture: Optional[np.ndarray] = None  # [H, W, 3] f32
@@ -169,4 +172,7 @@ def empty_light_table() -> LightTable:
         mesh_p0=z3, mesh_p1=z3, mesh_p2=z3,
         mesh_n0=z3, mesh_n1=z3, mesh_n2=z3,
         mesh_cdf=np.zeros((0,), np.float32),
+        mesh_uv0=np.zeros((0, 2), np.float32),
+        mesh_uv1=np.zeros((0, 2), np.float32),
+        mesh_uv2=np.zeros((0, 2), np.float32),
     )

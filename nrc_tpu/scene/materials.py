@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -68,6 +69,37 @@ class Material:
     hair_absorption: Tuple[float, float, float] = (0.02, 0.3, 0.6)
     hair_cuticle_angle: float = 0.0524  # radians (3 deg default)
     hair_diffuse_weight: float = 0.0
+    # 2D textures (MDL base::file_texture usages in the sample materials:
+    # bsdf_diffuse_reflection_tex.mdl, bsdf_diffuse_reflection_cutout.mdl,
+    # edf_diffuse_tex.mdl). Empty path = untextured. Paths are absolute
+    # after MDL parsing.
+    albedo_tex_path: str = ""
+    albedo_tex_srgb: bool = True
+    cutout_tex_path: str = ""     # mono average of RGB, linear gamma
+    emission_tex_path: str = ""
+    emission_tex_srgb: bool = True
+    # base::rotation_translation_scale on the uv coordinate (rotation about
+    # w only — the part exercisable through texture_2d placement params)
+    uv_scale: Tuple[float, float] = (1.0, 1.0)
+    uv_translation: Tuple[float, float] = (0.0, 0.0)
+    uv_rotation_z: float = 0.0  # radians
+    # ---- second lobe + blend/modifier descriptor (MDL combinators:
+    # weighted/fresnel/measured_curve layers, normalized/clamped/unbounded
+    # mixes, directional/fresnel/thin_film/measured_curve factors —
+    # data/mdl/layer_*.mdl, mixer_*.mdl, modifier_*.mdl). Lobe 1 = "layer",
+    # lobe 2 = "base"; archetype2 = NULL_BSDF means single-lobe.
+    archetype2: Archetype = Archetype.NULL_BSDF
+    albedo2: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    roughness2: Tuple[float, float] = (0.0, 0.0)
+    blend_mode: int = 0                                   # ops.layered.BLEND_*
+    blend_w1: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    blend_w2: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    blend_ior: float = 1.5
+    curve_values: Tuple[Tuple[float, float, float], ...] = ()
+    mod_mode: int = 0                                     # ops.layered.MOD_*
+    mod_a: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    mod_b: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    mod_exp: float = 1.0
 
     @property
     def is_emissive(self) -> bool:
@@ -95,12 +127,88 @@ class MaterialTable:
     hair_absorption: np.ndarray     # [M, 3] f32
     hair_cuticle_angle: np.ndarray  # [M] f32
     hair_diffuse_weight: np.ndarray  # [M] f32
+    # texture bindings (-1 = untextured) + uv placement transform
+    albedo_tex: np.ndarray = None   # [M] int32
+    cutout_tex: np.ndarray = None   # [M] int32
+    emission_tex: np.ndarray = None  # [M] int32
+    uv_xf: np.ndarray = None        # [M, 6] f32: su, sv, tu, tv, cos_rz, sin_rz
+    atlas: object = None            # scene.texture.TextureAtlas
+    # second lobe + blend/modifier descriptor
+    archetype2: np.ndarray = None   # [M] int32
+    albedo2: np.ndarray = None      # [M, 3]
+    roughness2: np.ndarray = None   # [M, 2]
+    blend_mode: np.ndarray = None   # [M] int32
+    blend_w1: np.ndarray = None     # [M, 3]
+    blend_w2: np.ndarray = None     # [M, 3]
+    blend_ior: np.ndarray = None    # [M]
+    curve: np.ndarray = None        # [M, CURVE_RES, 3] resampled curves
+    mod_mode: np.ndarray = None     # [M] int32
+    mod_a: np.ndarray = None        # [M, 3]
+    mod_b: np.ndarray = None        # [M, 3]
+    mod_exp: np.ndarray = None      # [M]
 
     @staticmethod
     def build(materials: list[Material]) -> "MaterialTable":
         if not materials:
             materials = [Material()]
+        from .texture import TextureAtlas
+
+        atlas = TextureAtlas.empty()
+
+        def tex(path: str, srgb: bool) -> int:
+            return atlas.add(path, srgb) if path else -1
+
+        albedo_tex = np.asarray(
+            [tex(m.albedo_tex_path, m.albedo_tex_srgb) for m in materials], np.int32
+        )
+        cutout_tex = np.asarray(
+            [tex(m.cutout_tex_path, False) for m in materials], np.int32
+        )
+        emission_tex = np.asarray(
+            [tex(m.emission_tex_path, m.emission_tex_srgb) for m in materials],
+            np.int32,
+        )
+        uv_xf = np.asarray(
+            [
+                [
+                    m.uv_scale[0], m.uv_scale[1],
+                    m.uv_translation[0], m.uv_translation[1],
+                    math.cos(m.uv_rotation_z), math.sin(m.uv_rotation_z),
+                ]
+                for m in materials
+            ],
+            np.float32,
+        )
+        # measured curves resampled to a fixed grid over theta in [0, pi/2]
+        from ..ops.layered import CURVE_RES
+
+        curve = np.ones((len(materials), CURVE_RES, 3), np.float32)
+        for i, m in enumerate(materials):
+            cv = np.asarray(m.curve_values, np.float32)
+            if cv.size:
+                x_src = np.linspace(0.0, 1.0, cv.shape[0])
+                x_dst = np.linspace(0.0, 1.0, CURVE_RES)
+                for c in range(3):
+                    curve[i, :, c] = np.interp(x_dst, x_src, cv[:, c])
+
         return MaterialTable(
+            albedo_tex=albedo_tex,
+            cutout_tex=cutout_tex,
+            emission_tex=emission_tex,
+            uv_xf=uv_xf,
+            atlas=atlas,
+            archetype2=np.asarray([int(m.archetype2) for m in materials], np.int32),
+            albedo2=np.asarray([m.albedo2 for m in materials], np.float32),
+            roughness2=np.asarray([m.roughness2 for m in materials], np.float32),
+            blend_mode=np.asarray([m.blend_mode for m in materials], np.int32),
+            blend_w1=np.asarray([m.blend_w1 for m in materials], np.float32),
+            blend_w2=np.asarray([m.blend_w2 for m in materials], np.float32),
+            blend_ior=np.asarray([m.blend_ior for m in materials], np.float32),
+            curve=curve,
+            mod_mode=np.asarray([m.mod_mode for m in materials], np.int32),
+            mod_a=np.asarray([m.mod_a for m in materials], np.float32),
+            mod_b=np.asarray([m.mod_b for m in materials], np.float32),
+            mod_exp=np.asarray([m.mod_exp for m in materials], np.float32),
             archetype=np.asarray([int(m.archetype) for m in materials], np.int32),
             albedo=np.asarray([m.albedo for m in materials], np.float32),
             roughness=np.asarray([m.roughness for m in materials], np.float32),

@@ -37,6 +37,11 @@ def _parse_params(text: str) -> Dict[str, object]:
         else:
             v = float(m.group(2))
             params[name] = (v, v, v)
+    # color defaults written as a bare scalar (color parW = 0.5)
+    for m in re.finditer(
+        rf"(?:uniform\s+)?color\s+(\w+)\s*=\s*({_NUM})\s*[,\)\[]", text
+    ):
+        params.setdefault(m.group(1), (float(m.group(2)),) * 3)
     # float2 defaults (e.g. per-lobe hair roughness)
     for m in re.finditer(
         rf"(?:uniform\s+)?float2\s+(\w+)\s*=\s*float2\(\s*({_NUM})(?:\s*,\s*({_NUM}))?\s*\)",
@@ -68,6 +73,12 @@ def _resolve_color(expr: str, params: Dict[str, object]) -> Tuple[float, float, 
         if isinstance(v, tuple):
             return v
         return (float(v),) * 3
+    m = re.match(r"color\(\s*(\w+)\s*,\s*(\w+)\s*,\s*(\w+)\s*\)", expr)
+    if m:
+        return tuple(_resolve_float(m.group(i), params, 1.0) for i in (1, 2, 3))
+    m = re.match(r"color\(\s*(\w+)\s*\)", expr)
+    if m:
+        return (_resolve_float(m.group(1), params, 1.0),) * 3
     return (1.0, 1.0, 1.0)
 
 
@@ -105,6 +116,222 @@ def _resolve_volume_coeff(
 
         return tuple(max(0.0, -math.log(v + eps) / scale) for v in base)
     return _resolve_color(expr, params)
+
+
+def _balanced(text: str, i: int) -> tuple[str, int]:
+    """Return (args, close_idx) of the paren group opening at text[i]=='('."""
+    depth = 0
+    for j in range(i, len(text)):
+        if text[j] == "(":
+            depth += 1
+        elif text[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[i + 1 : j], j
+    return text[i + 1 :], len(text)
+
+
+def _find_df_call(text: str, anchor: str, start: int = 0):
+    """Find ``<anchor> df::name( ... )`` with balanced parens.
+
+    Returns (name, args, end_idx) or None."""
+    m = re.compile(anchor + r"\s*df::(\w+)\s*\(").search(text, start)
+    if not m:
+        return None
+    args, end = _balanced(text, m.end() - 1)
+    return m.group(1), args, end
+
+
+def _parse_leaf_bsdf(bsdf_name: str, args: str, params):
+    """One elemental df::*_bsdf call -> (archetype, albedo, roughness)."""
+    mode_m = re.search(r"mode\s*:\s*(?:df::)?(\w+)", args)
+    mode = mode_m.group(1) if mode_m else "scatter_reflect"
+    arch = _bsdf_archetype(bsdf_name, mode)
+    albedo = (1.0, 1.0, 1.0)
+    tm = re.search(r"tint\s*:\s*([^,\n)]+)", args)
+    if tm:
+        albedo = _resolve_color(tm.group(1), params)
+    ru = re.search(r"roughness_u\s*:\s*([^,\n)]+)", args)
+    rv = re.search(r"roughness_v\s*:\s*([^,\n)]+)", args)
+    u = _resolve_float(ru.group(1), params, 0.0) if ru else 0.0
+    v = _resolve_float(rv.group(1), params, 0.0) if rv else u
+    return arch, albedo, (u, v)
+
+
+# MDL BSDF combinators normalized to the two-lobe blend family
+# (ops/layered.py). Keys = df:: node names in the sample materials.
+_COMBINATORS = {
+    "weighted_layer", "color_weighted_layer",
+    "fresnel_layer", "color_fresnel_layer",
+    "measured_curve_layer", "color_measured_curve_layer",
+    "custom_curve_layer", "color_custom_curve_layer",
+    "normalized_mix", "clamped_mix", "unbounded_mix",
+    "color_normalized_mix", "color_clamped_mix", "color_unbounded_mix",
+    "tint", "directional_factor", "fresnel_factor", "thin_film",
+    "measured_curve_factor",
+}
+
+
+def _parse_curve_values(args: str, params) -> tuple:
+    """color[](color(...), ...) array literal -> tuple of rgb tuples."""
+    m = re.search(r"curve_values\s*:\s*color\[\]\s*\(", args)
+    if not m:
+        return ()
+    body, _ = _balanced(args, m.end() - 1)
+    vals = []
+    for cm in re.finditer(
+        rf"color\(\s*({_NUM})\s*,\s*({_NUM})\s*,\s*({_NUM})\s*\)", body
+    ):
+        vals.append((float(cm.group(1)), float(cm.group(2)), float(cm.group(3))))
+    return tuple(vals)
+
+
+def _parse_combinator(mat: Material, root: str, args: str, params) -> None:
+    """Normalize an MDL layer/mix/modifier graph into Material's two lobes
+    + blend/modifier descriptor (lobe 1 = layer, lobe 2 = base)."""
+    from ..ops import layered as LY
+
+    def top_expr(key):
+        """Value expression of `key:` up to a depth-0 comma (so nested
+        color(...)/math::exp(...) calls survive)."""
+        m = re.search(rf"\b{key}\s*:\s*", args)
+        if not m:
+            return None
+        depth = 0
+        j = m.end()
+        while j < len(args):
+            c = args[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c in ",\n" and depth == 0:
+                break
+            j += 1
+        return args[m.end() : j].strip()
+
+    def sub_span(anchor):
+        return _find_df_call(args, anchor)
+
+    if root in ("tint",):
+        # df::tint folds into the base lobe's albedo (linear in tint)
+        sub = sub_span(r"base\s*:")
+        t = _resolve_color(top_expr("tint") or "color(1.0)", params)
+        if sub:
+            arch, alb, rough = _parse_leaf_bsdf(sub[0], sub[1], params)
+            mat.archetype, mat.roughness = arch, rough
+            mat.albedo = tuple(a * b for a, b in zip(alb, t))
+        return
+
+    if root in ("directional_factor", "fresnel_factor", "thin_film",
+                "measured_curve_factor"):
+        sub = sub_span(r"base\s*:")
+        if sub:
+            arch, alb, rough = _parse_leaf_bsdf(sub[0], sub[1], params)
+            mat.archetype, mat.albedo, mat.roughness = arch, alb, rough
+        if root == "directional_factor":
+            mat.mod_mode = LY.MOD_DIRECTIONAL
+            mat.mod_a = _resolve_color(top_expr("normal_tint") or "color(1)", params)
+            mat.mod_b = _resolve_color(top_expr("grazing_tint") or "color(1)", params)
+            mat.mod_exp = _resolve_float(top_expr("exponent") or "1", params, 1.0)
+        elif root == "fresnel_factor":
+            mat.mod_mode = LY.MOD_FRESNEL_COND
+            mat.mod_a = _resolve_color(top_expr("ior") or "color(1.5)", params)
+            ext = top_expr("extinction_coefficient") or "color(0)"
+            # sample file computes extinction = exp(-par) inline
+            em = re.search(
+                r"math::exp\(float3\(\s*-(\w+)\s*,\s*-(\w+)\s*,\s*-(\w+)", ext
+            )
+            if em:
+                import math as _math
+
+                mat.mod_b = tuple(
+                    _math.exp(-_resolve_float(em.group(i), params, 0.0))
+                    for i in (1, 2, 3)
+                )
+            else:
+                mat.mod_b = _resolve_color(ext, params)
+        elif root == "thin_film":
+            mat.mod_mode = LY.MOD_THIN_FILM
+            mat.mod_a = _resolve_color(top_expr("ior") or "color(1.5)", params)
+            mat.mod_exp = _resolve_float(top_expr("thickness") or "500", params, 500.0)
+        else:  # measured_curve_factor
+            mat.mod_mode = LY.MOD_CURVE
+            mat.curve_values = _parse_curve_values(args, params)
+        return
+
+    if root.endswith("_mix"):
+        # two df::bsdf_component(weight, component) entries
+        comps = []
+        pos = 0
+        for _ in range(2):
+            cm = re.compile(r"df::(?:color_)?bsdf_component\s*\(").search(args, pos)
+            if not cm:
+                break
+            body, end = _balanced(args, cm.end() - 1)
+            w = re.search(r"weight\s*:\s*([^,\n]+)", body)
+            w_rgb = _resolve_color(w.group(1), params) if w else (1.0, 1.0, 1.0)
+            sub = _find_df_call(body, r"component\s*:")
+            if sub:
+                comps.append((w_rgb, _parse_leaf_bsdf(sub[0], sub[1], params)))
+            pos = end
+        if not comps:
+            return
+        w1 = np.asarray(comps[0][0], np.float64)
+        w2 = np.asarray(comps[1][0] if len(comps) > 1 else (0.0,) * 3, np.float64)
+        if root.endswith("normalized_mix"):
+            s = w1 + w2
+            scale = np.where(s > 1.0, 1.0 / np.maximum(s, 1e-9), 1.0)
+            w1, w2 = w1 * scale, w2 * scale
+        elif root.endswith("clamped_mix"):
+            w1 = np.minimum(w1, 1.0)
+            w2 = np.minimum(w2, 1.0 - w1)
+        mat.blend_mode = LY.BLEND_FIXED
+        mat.blend_w1 = tuple(w1)
+        mat.blend_w2 = tuple(w2)
+        mat.archetype, mat.albedo, mat.roughness = comps[0][1]
+        if len(comps) > 1:
+            mat.archetype2, mat.albedo2, mat.roughness2 = comps[1][1]
+        return
+
+    # layer nodes: weight/ior/curve + layer + base
+    layer = sub_span(r"layer\s*:")
+    base = sub_span(r"base\s*:")
+    w_expr = top_expr("weight") or "1.0"
+    w_rgb = _resolve_color(w_expr, params)
+    if layer:
+        mat.archetype, mat.albedo, mat.roughness = _parse_leaf_bsdf(
+            layer[0], layer[1], params
+        )
+    if base:
+        mat.archetype2, mat.albedo2, mat.roughness2 = _parse_leaf_bsdf(
+            base[0], base[1], params
+        )
+    if root.endswith("weighted_layer"):
+        mat.blend_mode = LY.BLEND_FIXED
+        mat.blend_w1 = w_rgb
+        mat.blend_w2 = tuple(1.0 - w for w in w_rgb)
+    elif root.endswith("fresnel_layer"):
+        mat.blend_mode = LY.BLEND_FRESNEL
+        mat.blend_w1 = w_rgb
+        mat.blend_ior = _resolve_float(top_expr("ior") or "1.5", params, 1.5)
+    elif root.endswith("measured_curve_layer"):
+        mat.blend_mode = LY.BLEND_CURVE
+        mat.blend_w1 = w_rgb
+        mat.curve_values = _parse_curve_values(args, params)
+    elif root.endswith("custom_curve_layer"):
+        # Schlick curve baked to the sampled-curve grid:
+        # w(theta) = r0 + (r90 - r0) * (1 - cos)^exponent
+        mat.blend_mode = LY.BLEND_CURVE
+        mat.blend_w1 = w_rgb
+        r0 = _resolve_float(top_expr("normal_reflectivity") or "0.04", params, 0.04)
+        r90 = _resolve_float(top_expr("grazing_reflectivity") or "1.0", params, 1.0)
+        ex = _resolve_float(top_expr("exponent") or "5.0", params, 5.0)
+        ths = np.linspace(0.0, np.pi / 2, LY.CURVE_RES)
+        vals = r0 + (r90 - r0) * (1.0 - np.cos(ths)) ** ex
+        mat.curve_values = tuple((float(v),) * 3 for v in vals)
 
 
 def _bsdf_archetype(bsdf_name: str, mode: str) -> Archetype:
@@ -147,6 +374,60 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
 
     params = _parse_params(text)
     mat = Material(name=name or os.path.splitext(os.path.basename(path))[0])
+
+    # --- texture_2d parameters + base::file_texture let-bindings ---------
+    # (bsdf_diffuse_reflection_tex.mdl, bsdf_diffuse_reflection_cutout.mdl,
+    # edf_diffuse_tex.mdl: the texture flows into tint / cutout_opacity /
+    # emission intensity through a let variable)
+    tex_params = {}  # param name -> (abs path, srgb)
+    for tm in re.finditer(
+        r"texture_2d\s+(\w+)\s*=\s*texture_2d\(\s*\"([^\"]+)\"\s*"
+        r"(?:,\s*tex::gamma_(\w+))?\s*\)",
+        text,
+    ):
+        tpath = os.path.normpath(os.path.join(os.path.dirname(path), tm.group(2)))
+        tex_params[tm.group(1)] = (tpath, (tm.group(3) or "srgb") != "linear")
+    ft_vars = {}  # let variable -> texture param name
+    for fm in re.finditer(
+        r"(\w+)\s*=\s*base::file_texture\(\s*texture:\s*(\w+)", text, re.S
+    ):
+        if fm.group(2) in tex_params:
+            ft_vars[fm.group(1)] = fm.group(2)
+
+    def _tex_of_expr(expr: str):
+        """Texture bound to the first file_texture let-var in expr, if any."""
+        for var, p in ft_vars.items():
+            if re.search(rf"\b{var}\b", expr):
+                return tex_params[p]
+        return None
+
+    # uv placement: rotation_translation_scale float3 parameter defaults
+    def _float3(pname_expr: str, default=(0.0, 0.0, 0.0)):
+        mm = re.search(
+            rf"float3\s+{pname_expr}\s*=\s*float3\(\s*({_NUM})"
+            rf"(?:\s*,\s*({_NUM})\s*,\s*({_NUM}))?\s*\)",
+            text,
+        )
+        if not mm:
+            return default
+        a = float(mm.group(1))
+        if mm.group(2) is None:
+            return (a, a, a)
+        return (a, float(mm.group(2)), float(mm.group(3)))
+
+    if tex_params:
+        rts = re.search(
+            r"rotation_translation_scale\(\s*rotation:\s*(\w+)\s*,"
+            r"\s*translation:\s*(\w+)\s*,\s*scaling:\s*(\w+)",
+            text,
+        )
+        if rts:
+            rot = _float3(rts.group(1))
+            trans = _float3(rts.group(2))
+            scale = _float3(rts.group(3), (1.0, 1.0, 1.0))
+            mat.uv_rotation_z = rot[2]
+            mat.uv_translation = (trans[0], trans[1])
+            mat.uv_scale = (scale[0], scale[1])
 
     # hair BSDF (material(hair: df::chiang_hair_bsdf(...)))
     hm = re.search(r"hair\s*:\s*df::chiang_hair_bsdf\s*\(([^;]*)\)", text, re.S)
@@ -204,8 +485,17 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
             mat.ior = _resolve_float(mm.group(1), params, 1.55)
         return mat
 
-    # scattering BSDF
-    m = re.search(r"scattering\s*:\s*df::(\w+)\s*\(([^)]*(?:\([^)]*\)[^)]*)*)\)", text)
+    # scattering combinator (layers/mixes/modifiers) -> two-lobe blend
+    comb = _find_df_call(text, r"scattering\s*:")
+    is_combinator = bool(comb and comb[0] in _COMBINATORS)
+    if is_combinator:
+        _parse_combinator(mat, comb[0], comb[1], params)
+        m = None
+    else:
+        # elemental scattering BSDF
+        m = re.search(
+            r"scattering\s*:\s*df::(\w+)\s*\(([^)]*(?:\([^)]*\)[^)]*)*)\)", text
+        )
     if m:
         bsdf_name, args = m.group(1), m.group(2)
         mode_m = re.search(r"mode\s*:\s*(?:df::)?(\w+)", args)
@@ -213,7 +503,15 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
         mat.archetype = _bsdf_archetype(bsdf_name, mode)
         tint_m = re.search(r"tint\s*:\s*([^,\n]+)", args)
         if tint_m:
-            mat.albedo = _resolve_color(tint_m.group(1), params)
+            expr = tint_m.group(1)
+            tex = _tex_of_expr(expr)
+            if tex is not None:
+                mat.albedo_tex_path, mat.albedo_tex_srgb = tex
+                # drop the texture factor, resolve the remaining color term
+                for var in ft_vars:
+                    expr = re.sub(rf"\*?\s*\b{var}\b(\.\w+)?\s*\*?", "", expr)
+                expr = expr.strip() or "color(1.0)"
+            mat.albedo = _resolve_color(expr, params)
         elif "parDiffuseTint" in params or "parGlossyTint" in params or "parSpecularTint" in params:
             key = next(
                 k for k in ("parDiffuseTint", "parGlossyTint", "parSpecularTint") if k in params
@@ -226,7 +524,7 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
             _resolve_float(ru.group(1), params, 0.1) if ru else mat.roughness[0],
             _resolve_float(rv.group(1), params, 0.1) if rv else mat.roughness[1],
         )
-    else:
+    elif not is_combinator:
         mat.archetype = Archetype.NULL_BSDF
 
     # material-level ior
@@ -245,6 +543,13 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
     edf = re.search(r"emission\s*:\s*df::(\w+)", text)
     if edf and m:
         expr = m.group(1).strip()
+        tex = _tex_of_expr(expr)
+        if tex is not None:
+            # textured EDF (edf_diffuse_tex.mdl): texture modulates at runtime
+            mat.emission_tex_path, mat.emission_tex_srgb = tex
+            for var in ft_vars:
+                expr = re.sub(rf"\*?\s*\b{var}\b(\.\w+)?\s*\*?", "", expr)
+            expr = expr.strip() or "1.0"
         # handle "tint * scalar" products
         prod = re.match(r"(\w+)\s*\*\s*(\w+)", expr)
         if prod:
@@ -273,8 +578,12 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
     if m:
         mat.volume_bias = _resolve_float(m.group(1), params, 0.0)
 
-    # cutout
+    # cutout: scalar, or a file_texture mono (bsdf_diffuse_reflection_cutout.mdl)
     m = re.search(r"cutout_opacity\s*:\s*([^,\n)]+)", text)
+    if m and _tex_of_expr(m.group(1)) is not None:
+        mat.cutout_tex_path, _ = _tex_of_expr(m.group(1))
+        mat.cutout_opacity = 1.0
+        m = None
     if m:
         mat.cutout_opacity = _resolve_float(m.group(1), params, 1.0)
 

@@ -201,7 +201,10 @@ def build_scene(
         material_id = np.zeros((0,), np.int32)
 
     # ---- lights -------------------------------------------------------
-    lt = _build_lights(desc, search_paths, mat_rows, p0, p1, p2, n0, n1, n2, material_id)
+    lt = _build_lights(
+        desc, search_paths, mat_rows, p0, p1, p2, n0, n1, n2,
+        uv0, uv1, uv2, material_id,
+    )
     light_table, light_id = lt
 
     # ---- camera -------------------------------------------------------
@@ -237,6 +240,7 @@ def _build_lights(
     search_paths,
     mat_rows: List[Material],
     p0, p1, p2, n0, n1, n2,
+    uv0, uv1, uv2,
     material_id: np.ndarray,
 ) -> tuple[LightTable, np.ndarray]:
     """Declared lights + implicit mesh lights from emissive materials."""
@@ -319,7 +323,10 @@ def _build_lights(
         cdf, area = build_mesh_light(p0[sel], p1[sel], p2[sel])
         start = len(mesh_tris and np.concatenate([m[0] for m in mesh_tris])) if mesh_tris else 0
         start = sum(m[0].shape[0] for m in mesh_tris)
-        mesh_tris.append((p0[sel], p1[sel], p2[sel], n0[sel], n1[sel], n2[sel], cdf))
+        mesh_tris.append(
+            (p0[sel], p1[sel], p2[sel], n0[sel], n1[sel], n2[sel], cdf,
+             uv0[sel], uv1[sel], uv2[sel])
+        )
         light_id[sel] = len(types)
         add(
             TYPE_LIGHT_MESH, np.eye(4), (1.0, 1.0, 1.0),
@@ -338,9 +345,13 @@ def _build_lights(
         mn1 = np.concatenate([m[4] for m in mesh_tris])
         mn2 = np.concatenate([m[5] for m in mesh_tris])
         mcdf = np.concatenate([m[6] for m in mesh_tris])
+        muv0 = np.concatenate([m[7] for m in mesh_tris])
+        muv1 = np.concatenate([m[8] for m in mesh_tris])
+        muv2 = np.concatenate([m[9] for m in mesh_tris])
     else:
         mp0 = mp1 = mp2 = mn0 = mn1 = mn2 = np.zeros((0, 3), np.float32)
         mcdf = np.zeros((0,), np.float32)
+        muv0 = muv1 = muv2 = np.zeros((0, 2), np.float32)
 
     mats = np.stack(matrices)
     table = LightTable(
@@ -358,6 +369,7 @@ def _build_lights(
         mesh_p0=mp0, mesh_p1=mp1, mesh_p2=mp2,
         mesh_n0=mn0, mesh_n1=mn1, mesh_n2=mn2,
         mesh_cdf=mcdf,
+        mesh_uv0=muv0, mesh_uv1=muv1, mesh_uv2=muv2,
         env_texture=env_texture,
         env_cdf_u=env_cdf_u,
         env_cdf_v=env_cdf_v,
