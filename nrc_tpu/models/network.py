@@ -192,6 +192,7 @@ def train_step(
     learning_rate: Optional[jnp.ndarray] = None,
     grad_reduce=None,
     loss_scale: Optional[jnp.ndarray] = None,
+    grid_grad_reduce=None,
 ) -> Tuple[NetworkState, jnp.ndarray]:
     """One SGD step (= one ``trainer->training_step``, NRCNetwork.cu:41-59).
 
@@ -199,6 +200,10 @@ def train_step(
     ``lambda g: jax.lax.pmean(g, 'data')`` for data-parallel training).
     ``loss_scale``: multiplier on the loss (0 drops this shard's gradient —
     used when a chip's tile shard produced no records this frame).
+    ``grid_grad_reduce``: separate reduction for the hash-table gradient;
+    defaults to ``grad_reduce``. With mesh-sharded tables (SURVEY P6) the
+    cross-device exchange already happened inside the lookup's adjoint, so
+    this must be ``lambda g: g / D`` (the loss-mean scaling), NOT a pmean.
     Returns (new_state, loss).
     """
     lr = cfg.learning_rate if learning_rate is None else learning_rate
@@ -221,8 +226,10 @@ def train_step(
 
     if grad_reduce is not None:
         g_params = grad_reduce(g_params)
-        if g_grid is not None:
-            g_grid = grad_reduce(g_grid)
+    if g_grid is not None:
+        reduce_grid = grid_grad_reduce if grid_grad_reduce is not None else grad_reduce
+        if reduce_grid is not None:
+            g_grid = reduce_grid(g_grid)
 
     # L2 regularization on MLP matrices (tcnn Adam l2_reg)
     g_params = jax.tree.map(

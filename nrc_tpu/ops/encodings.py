@@ -109,27 +109,33 @@ def init_hash_grid(key: jax.Array, cfg: NetworkConfig) -> HashGridParams:
     return HashGridParams(table=table)
 
 
-def _hash_coords(ix, iy, iz, log2_size: int):
-    h = (
-        ix.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
-        ^ iy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
-        ^ iz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
+def _level_resolutions(cfg: NetworkConfig) -> tuple:
+    return tuple(
+        int(cfg.hash_base_resolution * (cfg.hash_per_level_scale ** level))
+        for level in range(cfg.hash_n_levels)
     )
-    return (h & jnp.uint32(2 ** log2_size - 1)).astype(jnp.int32)
 
 
-def _corner_index_weight(pos: jnp.ndarray, level: int, corner: int,
-                         cfg: NetworkConfig):
-    """Hash index + trilinear weight of one voxel corner at one level."""
-    res = int(cfg.hash_base_resolution * (cfg.hash_per_level_scale ** level))
-    p = pos * res
+def _corner_index_weight_all_levels(pos: jnp.ndarray, corner: int,
+                                    cfg: NetworkConfig):
+    """Hash row + trilinear weight of one voxel corner, all levels at once.
+
+    pos: [..., 3] -> (idx [..., L] int32 global row in [0, 2^log2),
+    w [..., L] f32). Vectorizing the level axis keeps the gathers few and
+    wide (8 gathers of [B, L, F] instead of 8*L of [B, F]).
+    """
+    res = jnp.asarray(_level_resolutions(cfg), pos.dtype)  # [L]
+    p = pos[..., None, :] * res[:, None]                   # [..., L, 3]
     p0 = jnp.floor(p)
     frac = p - p0
     p0 = p0.astype(jnp.int32)
     dx, dy, dz = (corner & 1), ((corner >> 1) & 1), ((corner >> 2) & 1)
-    idx = _hash_coords(
-        p0[..., 0] + dx, p0[..., 1] + dy, p0[..., 2] + dz, cfg.hash_log2_size
+    h = (
+        (p0[..., 0] + dx).astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+        ^ (p0[..., 1] + dy).astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
+        ^ (p0[..., 2] + dz).astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
     )
+    idx = (h & jnp.uint32(2 ** cfg.hash_log2_size - 1)).astype(jnp.int32)
     w = (
         jnp.where(dx, frac[..., 0], 1.0 - frac[..., 0])
         * jnp.where(dy, frac[..., 1], 1.0 - frac[..., 1])
@@ -147,14 +153,14 @@ def hash_grid_lookup(
     the HBM-resident tables; the sharded multi-host variant (SURVEY P6) is
     ``sharded_hash_grid_lookup`` below.
     """
-    feats = []
-    for level in range(cfg.hash_n_levels):
-        f_acc = 0.0
-        for corner in range(8):
-            idx, w = _corner_index_weight(pos, level, corner, cfg)
-            f_acc = f_acc + w[..., None] * params.table[level, idx]
-        feats.append(f_acc)
-    return jnp.concatenate(feats, axis=-1)
+    n_levels, size, n_feat = params.table.shape
+    flat = params.table.reshape(n_levels * size, n_feat)
+    level_ofs = jnp.arange(n_levels, dtype=jnp.int32) * size
+    acc = jnp.zeros((*pos.shape[:-1], n_levels, n_feat), flat.dtype)
+    for corner in range(8):
+        idx, w = _corner_index_weight_all_levels(pos, corner, cfg)
+        acc = acc + w[..., None] * flat[idx + level_ofs]
+    return acc.reshape(*pos.shape[:-1], n_levels * n_feat)
 
 
 def sharded_hash_grid_lookup(
@@ -165,39 +171,43 @@ def sharded_hash_grid_lookup(
     the capability the reference lacks: tcnn's table is single-GPU HBM,
     ``NRCNetworkConfigs.h:96-105``).
 
-    Runs inside ``shard_map``. ``params.table`` is this device's block
-    [L, S/D, F] of the global [L, S, F] table (block row-sharding: global
-    row = shard_id * S/D + local row). Per level:
+    Runs inside ``shard_map``. ``params.table`` is this device's row block
+    [L, S/D, F] of the global [L, S, F] table (global row =
+    shard_id * S/D + local row). Two collectives total:
 
-    1. every device all_gathers all devices' (corner index, trilinear
-       weight) pairs — small int/f32 traffic over ICI;
-    2. computes the weighted partial feature sums for the rows IT owns;
-    3. ``psum_scatter`` routes each requester's completed features back.
+    1. one ``all_gather`` of everyone's query positions — [D*B, 3] of f32
+       over ICI (positions, not per-corner indices: recomputing the 8*L
+       hashes locally is cheap VPU work and 50x less traffic);
+    2. each device accumulates the weighted features for the table rows IT
+       owns over all D*B queries (masked gathers on its local shard);
+    3. one tiled ``psum_scatter`` sums the per-owner partials across devices
+       while routing each requester's completed [B, L*F] block back to it.
 
     The whole dance is differentiable: the adjoint of ``psum_scatter`` is
-    ``all_gather`` and the adjoint of the masked gather is the scatter-add
-    into the local shard — i.e. autodiff derives the distributed
+    ``all_gather`` and the adjoint of the masked gather is a scatter-add
+    into the local shard — autodiff derives the distributed
     embedding-gradient exchange for free.
     """
-    local_size = params.table.shape[1]
+    n_levels, local_size, n_feat = params.table.shape
     my = jax.lax.axis_index(axis_name)
     b = pos.shape[0]
-    feats = []
-    for level in range(cfg.hash_n_levels):
-        part = None
-        for corner in range(8):
-            idx, w = _corner_index_weight(pos, level, corner, cfg)
-            g_idx = jax.lax.all_gather(idx, axis_name)   # [D, B]
-            g_w = jax.lax.all_gather(w, axis_name)       # [D, B]
-            owner = g_idx // local_size
-            local = g_idx - owner * local_size
-            f = params.table[level, jnp.clip(local, 0, local_size - 1)]
-            mine = (owner == my)[..., None]
-            contrib = jnp.where(mine, g_w[..., None] * f, 0.0)
-            part = contrib if part is None else part + contrib
-        # [D, B, F] partial sums -> each device receives its own [B, F]
-        feats.append(jax.lax.psum_scatter(part, axis_name, scatter_dimension=0))
-    return jnp.concatenate(feats, axis=-1).reshape(b, -1)
+    gpos = jax.lax.all_gather(pos, axis_name, tiled=True)  # [D*B, 3]
+    n = gpos.shape[0]
+    flat = params.table.reshape(n_levels * local_size, n_feat)
+    level_ofs = jnp.arange(n_levels, dtype=jnp.int32) * local_size
+    acc = jnp.zeros((n, n_levels, n_feat), flat.dtype)
+    for corner in range(8):
+        idx, w = _corner_index_weight_all_levels(gpos, corner, cfg)
+        owner = idx // local_size
+        local = idx - owner * local_size
+        f = flat[local + level_ofs]
+        mine = (owner == my)[..., None]
+        acc = acc + jnp.where(mine, w[..., None] * f, 0.0)
+    out = jax.lax.psum_scatter(
+        acc.reshape(n, n_levels * n_feat), axis_name,
+        scatter_dimension=0, tiled=True,
+    )  # [B, L*F]
+    return out.reshape(b, n_levels * n_feat)
 
 
 def encode_hash(

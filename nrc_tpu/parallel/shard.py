@@ -47,29 +47,66 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def net_state_specs(net_state, shard_hash_tables: bool):
+    """PartitionSpec pytree for a ``NetworkState``.
+
+    Dense MLP params/moments are replicated (P5 data-parallel training).
+    With ``shard_hash_tables`` (SURVEY P6), every [L, S, F] hash-table leaf —
+    table, its EMA, and its Adam moments — is row-sharded over the data axis:
+    the TPU-native HBM-embedding-table layout the reference's single-GPU
+    tcnn grid cannot express.
+    """
+    def leaf_spec(path, leaf):
+        if shard_hash_tables and "grid" in jax.tree_util.keystr(path):
+            return P(None, DATA_AXIS, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, net_state)
+
+
 def sharded_frame_step(
     mesh: Mesh,
     cfg: FrameConfig,
     net_cfg: NetworkConfig,
     train_unbiased_ratio: float = 1.0 / 16.0,
+    net_state_example=None,
 ):
     """Build the jitted multi-chip frame step.
 
     Returns ``step(scene, net_state, image, camera, iteration, subframe)``
-    where ``image`` is a global [H*W, 3] array sharded by rows. Scene and
-    network are replicated; gradients are pmean'd across chips.
+    where ``image`` is a global [H*W, 3] array sharded by rows. Scene is
+    replicated; MLP gradients are pmean'd across chips. When
+    ``net_cfg.hash_shard_axis == DATA_AXIS`` the hash tables (+ EMA + Adam
+    moments) are row-sharded over the mesh and lookups run the all-gather /
+    psum-scatter exchange of ``encodings.sharded_hash_grid_lookup``;
+    ``net_state_example`` (any concrete NetworkState) is then required to
+    shape the per-leaf partition specs.
     """
     n_dev = mesh.devices.size
     assert cfg.height % (n_dev * cfg.tile_size[1]) == 0, (
         f"height {cfg.height} must divide over {n_dev} devices in whole tiles"
     )
     shard_rows = cfg.height // n_dev
+    shard_tables = net_cfg.hash_shard_axis == DATA_AXIS
+    if shard_tables:
+        assert net_state_example is not None, (
+            "sharded hash tables need net_state_example for partition specs"
+        )
+        net_specs = net_state_specs(net_state_example, True)
+    else:
+        net_specs = P()
 
     def body(scene, net_state, image_shard, camera, iteration, subframe):
         shard_id = jax.lax.axis_index(DATA_AXIS)
         row_offset = shard_id.astype(jnp.int32) * shard_rows
         grad_reduce = lambda g: jax.lax.pmean(g, DATA_AXIS)
         count_reduce = lambda c: jax.lax.psum(c, DATA_AXIS)
+        # sharded tables: the lookup adjoint already sums each owner's rows
+        # over all chips' batches; only the 1/D loss-mean scaling remains
+        grid_grad_reduce = (
+            (lambda g: jax.tree.map(lambda x: x / n_dev, g))
+            if shard_tables else None
+        )
         image_flat = image_shard.reshape(-1, 3)
         image2, net2, stats = frame_step(
             scene, net_state, image_flat, camera, iteration, subframe,
@@ -77,6 +114,7 @@ def sharded_frame_step(
             train_unbiased_ratio=train_unbiased_ratio,
             grad_reduce=grad_reduce,
             count_reduce=count_reduce,
+            grid_grad_reduce=grid_grad_reduce,
             shard_rows=shard_rows, row_offset=row_offset,
         )
         stats = FrameStats(
@@ -90,13 +128,13 @@ def sharded_frame_step(
         mesh=mesh,
         in_specs=(
             P(),                      # scene replicated
-            P(),                      # network replicated
+            net_specs,                # network replicated / tables sharded
             P(DATA_AXIS, None, None),  # image [H, W, 3] sharded by rows
             P(),                      # camera
             P(),                      # iteration
             P(),                      # subframe
         ),
-        out_specs=(P(DATA_AXIS, None, None), P(), P()),
+        out_specs=(P(DATA_AXIS, None, None), net_specs, P()),
         check_vma=False,
     )
 
@@ -125,6 +163,18 @@ class ParallelRenderer:
         sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
         h, w = self.r.cfg.height, self.r.cfg.width
         self.r.image = jax.device_put(self.r.image, sharding)
+        # place the network: replicated, or tables row-sharded (P6)
+        shard_tables = self.r.net_cfg.hash_shard_axis == DATA_AXIS
+        if shard_tables:
+            n_dev = self.mesh.devices.size
+            table_rows = 2 ** self.r.net_cfg.hash_log2_size
+            assert table_rows % n_dev == 0
+            specs = net_state_specs(self.r.net_state, True)
+            shardings = jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s), specs,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+            self.r.net_state = jax.device_put(self.r.net_state, shardings)
 
     def _step(self):
         key = (self.r.cfg.tile_size, self.r.cfg.render_mode, self.r.cfg.train)
@@ -132,6 +182,7 @@ class ParallelRenderer:
             self._steps[key] = sharded_frame_step(
                 self.mesh, self.r.cfg, self.r.net_cfg,
                 self.r.hyper.train_unbiased_ratio,
+                net_state_example=self.r.net_state,
             )
         return self._steps[key]
 

@@ -155,6 +155,7 @@ def frame_step(
     train_unbiased_ratio: float = 1.0 / 16.0,
     grad_reduce=None,
     count_reduce=None,
+    grid_grad_reduce=None,
     shard_rows: Optional[int] = None,
     row_offset=0,
 ) -> Tuple[jnp.ndarray, N.NetworkState, FrameStats]:
@@ -284,6 +285,7 @@ def frame_step(
                     ns, bq, bt, net_cfg,
                     learning_rate=learning_rate, grad_reduce=grad_reduce,
                     loss_scale=(num_records > 0).astype(jnp.float32),
+                    grid_grad_reduce=grid_grad_reduce,
                 )
                 return (ns2, loss), loss
 
