@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, help="load network weights first")
     p.add_argument("--output", default=None, help="screenshot path prefix")
     p.add_argument("--hdr", action="store_true", help="also write linear .hdr")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render loop")
+    p.add_argument("--save-system", default=None, metavar="PATH",
+                   help="write the current system description (Key S parity)")
     p.add_argument("--stats-log", default=None,
                    help="write per-frame JSONL stats (loss, records, tile size)")
     return p
@@ -90,7 +94,48 @@ def main(argv=None) -> int:
     spp = args.spp if args.spp is not None else system.samples_sqrt ** 2
     stats_f = open(args.stats_log, "w") if args.stats_log else None
 
+    import contextlib
+
+    import jax
+
+    profile_ctx = (
+        jax.profiler.trace(args.profile) if args.profile
+        else contextlib.nullcontext()
+    )
+
     t0 = time.perf_counter()
+    with profile_ctx:
+        _render_loop(args, driver, r, spp, stats_f, t0)
+    jax.block_until_ready(r.image)
+    dt = time.perf_counter() - t0
+    print(f"{spp} spp in {dt:.2f}s -> {spp / dt:.2f} fps")
+    if r.loss_history:
+        h = list(r.loss_history)
+        print(
+            f"loss: last {h[-1]:.4f}, min {min(h):.4f}, "
+            f"mean(last 16) {sum(h[-16:]) / len(h[-16:]):.4f}"
+        )
+    if stats_f is not None:
+        stats_f.close()
+
+    prefix = args.output or system.prefix_screenshot
+    path = r.screenshot(prefix + f"_{spp}spp", tonemap=True)
+    print(path)
+    if args.hdr:
+        print(r.screenshot(prefix + f"_{spp}spp", tonemap=False))
+
+    if args.save_system:
+        print(r.save_system_description(args.save_system))
+
+    if args.checkpoint:
+        from ..models.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint, r.net_state)
+        print(f"saved network to {args.checkpoint}")
+    return 0
+
+
+def _render_loop(args, driver, r, spp, stats_f, t0):
     for i in range(spp):
         stats = driver.render_frame()
         if stats_f is not None:
@@ -108,26 +153,6 @@ def main(argv=None) -> int:
         if args.mode == 0 and (i + 1) % 16 == 0:
             el = time.perf_counter() - t0
             print(f"[{i + 1}/{spp}] {(i + 1) / el:.2f} fps, loss {float(stats.loss):.4f}")
-    import jax
-
-    jax.block_until_ready(r.image)
-    dt = time.perf_counter() - t0
-    print(f"{spp} spp in {dt:.2f}s -> {spp / dt:.2f} fps")
-    if stats_f is not None:
-        stats_f.close()
-
-    prefix = args.output or system.prefix_screenshot
-    path = r.screenshot(prefix + f"_{spp}spp", tonemap=True)
-    print(path)
-    if args.hdr:
-        print(r.screenshot(prefix + f"_{spp}spp", tonemap=False))
-
-    if args.checkpoint:
-        from ..models.checkpoint import save_checkpoint
-
-        save_checkpoint(args.checkpoint, r.net_state)
-        print(f"saved network to {args.checkpoint}")
-    return 0
 
 
 if __name__ == "__main__":

@@ -28,6 +28,11 @@ class RenderMode(enum.IntEnum):
     CACHE_FIRST_VERTEX = 3  # visualize cache at first non-specular vertex
     DEBUG_CACHE_NO_THROUGHPUT_MODULATION = 4
     DEBUG_THROUGHPUT_ONLY = 5
+    # TPU-native extension: per-pixel bounce-count heat map through the
+    # reference's cold-to-hot color ramp — the deterministic analog of the
+    # per-pixel clock() view (USE_TIME_VIEW, config.h:61-68 +
+    # Rasterizer.cpp:306-345; clocks don't exist per lane on a TPU)
+    DEBUG_TIME_VIEW = 6
 
 
 class InputEncoding(enum.IntEnum):
@@ -198,6 +203,9 @@ class FrameConfig:
     # Layered/mixed/modified materials (two-lobe blends, angular factors)
     # compile in only when the scene uses MDL combinators.
     has_layered: bool = False
+    # Measured BSDFs (df::measured_bsdf) — compiled in only when a material
+    # binds a measurement.
+    has_measured: bool = False
     # Per-scene position normalization applied to radiance-query positions.
     # The reference hardcodes 0.005 for Cornell (``hit.cu:595-597``).
     position_scale: float = 0.005

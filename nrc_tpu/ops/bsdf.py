@@ -294,8 +294,10 @@ def bsdf_sample(
         pdf_diffuse > 0.0,
         jnp.where(is_ggx_f, ok_ggx, ok_spec),
     )
-    # NULL_BSDF or failed sample -> absorb (hit.cu:871-875)
-    ok = ok & ~_is(arch, Archetype.NULL_BSDF)
+    # NULL_BSDF or failed sample -> absorb (hit.cu:871-875). MEASURED is
+    # handled by the integrator's ops/mbsdf.py merge; absorb here so an
+    # unmerged measured lane can never leak a bogus analytic sample.
+    ok = ok & ~_is(arch, Archetype.NULL_BSDF, Archetype.MEASURED)
     event = jnp.where(ok, event, np.int32(BSDF_EVENT_ABSORB))
     weight = jnp.where(ok[..., None], weight, 0.0)
     pdf = jnp.where(ok, pdf, 0.0)

@@ -196,6 +196,8 @@ class ParallelRenderer:
         r.iteration += 1
         r.total_subframe += 1
         r.last_stats = stats
+        if r.cfg.train:
+            r.loss_history.append(float(stats.loss))
         return stats
 
     def render(self, spp: int):

@@ -260,6 +260,16 @@ def frame_step(
         image = cache_render
     elif mode == RenderMode.DEBUG_THROUGHPUT_ONLY:
         image = render_out.last_render_throughput
+    elif mode == RenderMode.DEBUG_TIME_VIEW:
+        from ..utils.tonemap import time_view_ramp
+
+        # per-pixel work events through the cold-to-hot ramp (the analog of
+        # USE_TIME_VIEW's clock alpha channel, raygeneration.cu:392-404);
+        # running max over the accumulation like a latched heat view
+        heat = time_view_ramp(
+            render_out.bounce_count.astype(jnp.float32) / float(cfg.max_depth)
+        )
+        image = jnp.maximum(image, heat)
 
     # ---- training --------------------------------------------------------
     if cfg.train:

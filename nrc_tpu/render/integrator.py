@@ -71,6 +71,7 @@ class WavefrontOut(NamedTuple):
     """Per-wavefront outputs (N = #rays)."""
 
     radiance: jnp.ndarray                 # [N, 3] path-traced radiance
+    bounce_count: jnp.ndarray             # [N] i32 (time-view AOV)
     render_query: jnp.ndarray             # [N, 13] query at truncation vertex
     last_render_throughput: jnp.ndarray   # [N, 3] (0 -> query unused)
     cache_vis_query: jnp.ndarray          # [N, 13] first non-specular vertex
@@ -108,6 +109,7 @@ class _State(NamedTuple):
     walk: jnp.ndarray           # [N] volume random-walk steps taken
     stack_idx: jnp.ndarray      # [N]
     pass_dist: jnp.ndarray      # [N] distance through cutout passthroughs
+    bounces: jnp.ndarray        # [N] i32 work events (time-view AOV)
     last_render_throughput: jnp.ndarray
     render_query: jnp.ndarray
     cache_vis_query: jnp.ndarray
@@ -158,6 +160,11 @@ def trace_wavefront(
     has_layered = cfg.has_layered
     if has_layered:
         from ..ops import layered as LY
+    # measured BSDFs (df::measured_bsdf): data-driven lobes over the scene's
+    # stacked measurement tables (ops/mbsdf.py; Device.cpp:3347-3663)
+    has_measured = cfg.has_measured
+    if has_measured:
+        from ..ops import mbsdf as MB
 
     def interp_uv(prim, bu, bv):
         """Material-placed texcoord at a triangle hit."""
@@ -229,6 +236,7 @@ def trace_wavefront(
         walk=jnp.zeros((n,), jnp.int32),
         stack_idx=jnp.zeros((n,), jnp.int32),
         pass_dist=jnp.zeros((n,), jnp.float32),
+        bounces=jnp.zeros((n,), jnp.int32),
         last_render_throughput=zero3(),
         render_query=jnp.zeros((n, QUERY_DIMS), jnp.float32),
         cache_vis_query=jnp.zeros((n, QUERY_DIMS), jnp.float32),
@@ -540,6 +548,31 @@ def trace_wavefront(
             )
         else:
             sample = B.bsdf_sample(params, wo, ns, ng, xi, eta_i, eta_t)
+        if has_measured:
+            is_measured = params.archetype == int(Archetype.MEASURED)
+            nf_m = jnp.where(dot(wo, ns)[..., None] >= 0.0, ns, -ns)
+            mb_idx = jnp.maximum(scene.mat_mbsdf_index[mid], 0)
+            mb_mult = scene.mat_mbsdf_multiplier[mid]
+            wi_m, w_m, pdf_m, trans_m, ok_m = MB.measured_sample(
+                scene.mbsdf, mb_idx, mb_mult, wo, nf_m, xi[..., :3]
+            )
+            ev_m = jnp.where(
+                ok_m,
+                jnp.where(
+                    trans_m,
+                    np.int32(B.BSDF_EVENT_GLOSSY_TRANSMISSION),
+                    np.int32(B.BSDF_EVENT_GLOSSY_REFLECTION),
+                ),
+                np.int32(B.BSDF_EVENT_ABSORB),
+            )
+            sample = B.BSDFSample(
+                wi=jnp.where(is_measured[..., None], wi_m, sample.wi),
+                bsdf_over_pdf=jnp.where(
+                    is_measured[..., None], w_m, sample.bsdf_over_pdf
+                ),
+                pdf=jnp.where(is_measured, pdf_m, sample.pdf),
+                event=jnp.where(is_measured, ev_m, sample.event),
+            )
         if has_curves:
             # chiang hair BSDF on curve hits, in the fiber frame
             # (bsdf_hair.mdl; frame = tangent + per-strand azimuthal basis)
@@ -602,6 +635,17 @@ def trace_wavefront(
             LY.layered_aux(params, params2, bp, wo, ns)
             if has_layered else B.bsdf_aux(params)
         )
+        if has_measured:
+            alb_g = MB.measured_aux(scene.mbsdf, mb_idx, mb_mult, wo, nf_m)
+            aux = B.BSDFAux(
+                albedo_diffuse=jnp.where(
+                    is_measured[..., None], 0.0, aux.albedo_diffuse
+                ),
+                albedo_glossy=jnp.where(
+                    is_measured[..., None], alb_g, aux.albedo_glossy
+                ),
+                roughness=jnp.where(is_measured[..., None], 1.0, aux.roughness),
+            )
         if has_curves:
             hair_rough = jnp.stack(
                 [
@@ -701,6 +745,14 @@ def trace_wavefront(
                 if has_layered
                 else B.bsdf_eval(params, wo, ls.direction, ns, eta_i, eta_t)
             )
+            if has_measured:
+                fcos_m, pdf_em = MB.measured_eval(
+                    scene.mbsdf, mb_idx, mb_mult, wo, ls.direction, nf_m
+                )
+                ev = B.BSDFEval(
+                    bsdf=jnp.where(is_measured[..., None], fcos_m, ev.bsdf),
+                    pdf=jnp.where(is_measured, pdf_em, ev.pdf),
+                )
             if has_curves:
                 f_h, pdf_eh = H.hair_eval(hpar, wo_l, to_fiber(ls.direction), h_fib)
                 ev = B.BSDFEval(
@@ -846,6 +898,10 @@ def trace_wavefront(
                           jnp.where(hit_valid, 0.0, s.pass_dist))
                 if has_cutout else s.pass_dist
             ),
+            # work events this bounce: surface hits, cutout passthroughs,
+            # volume scatter steps (the TPU analog of USE_TIME_VIEW clocks)
+            bounces=s.bounces
+            + (hit_valid | passthrough | scatter_miss).astype(jnp.int32),
             last_render_throughput=lrt,
             render_query=render_query,
             cache_vis_query=cache_vis_query,
@@ -875,6 +931,7 @@ def trace_wavefront(
 
     return WavefrontOut(
         radiance=state.radiance,
+        bounce_count=state.bounces,
         render_query=state.render_query,
         last_render_throughput=lrt,
         cache_vis_query=state.cache_vis_query,

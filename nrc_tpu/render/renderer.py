@@ -90,6 +90,7 @@ class Renderer:
                 np.min(scene.materials.cutout_opacity) < 1.0
                 or np.max(scene.materials.cutout_tex) >= 0
             ),
+            has_measured=bool(np.max(scene.materials.mbsdf_index) >= 0),
         )
 
         # Fused Pallas MLP (tiny-cuda-nn equivalent): 23% faster than the XLA
@@ -106,6 +107,9 @@ class Renderer:
         self.iteration = 0
         self.total_subframe = 0
         self.last_stats = None
+        from collections import deque
+
+        self.loss_history = deque(maxlen=256)
         self._step_cache = {}
 
     # -- state management --------------------------------------------------
@@ -159,6 +163,11 @@ class Renderer:
         self.iteration += 1
         self.total_subframe += 1
         self.last_stats = stats
+        if self.cfg.train:
+            # stats-window loss ring buffer (256-frame plot,
+            # Application.cpp:1020-1048); float() syncs after the frame, the
+            # same once-per-frame readback the reference does
+            self.loss_history.append(float(stats.loss))
         if self.adaptive_tiles and self.cfg.train:
             n = int(stats.num_train_records)
             new_ts = adjust_tile_size(self.cfg.tile_size, n)
@@ -198,7 +207,51 @@ class Renderer:
         img = np.asarray(self.image).reshape(self.cfg.height, self.cfg.width, 3)
         return img[::-1]
 
+    def save_system_description(self, path: str) -> str:
+        """Write the current system state in the reference's system-file
+        format (Key S -> ``Application::saveSystemDescription``,
+        ``Application.cpp:1296-1335``), re-loadable by ``load_scene``."""
+        s, tm, cam = self.system, self.system.tonemapper, self.scene.camera
+        lines = [
+            f"resolution {s.resolution[0]} {s.resolution[1]}",
+            f"tileSize {s.tile_size[0]} {s.tile_size[1]}",
+            f"samplesSqrt {s.samples_sqrt}",
+            f"devicesMask {s.devices_mask}",
+            f"arenaSize {s.arena_size_mib}",
+            f"interop {s.interop}",
+            f"present {s.present}",
+            f"peerToPeer {s.peer_to_peer}",
+            f"pathLengths {s.path_lengths[0]} {s.path_lengths[1]}",
+            f"walkLength {s.walk_length}",
+            f"epsilonFactor {s.epsilon_factor}",
+            f"clockFactor {s.clock_factor}",
+            f"lensShader {s.lens_shader}",
+            "center " + " ".join(str(c) for c in cam.center),
+            f"camera {cam.phi} {cam.theta} {cam.fov} {cam.distance}",
+            f"prefixScreenshot \"{s.prefix_screenshot}\"",
+            f"gamma {tm.gamma}",
+            "colorBalance " + " ".join(str(c) for c in tm.color_balance),
+            f"whitePoint {tm.white_point}",
+            f"burnHighlights {tm.burn_highlights}",
+            f"crushBlacks {tm.crush_blacks}",
+            f"saturation {tm.saturation}",
+            f"brightness {tm.brightness}",
+        ]
+        lines += [f"searchPath \"{p}\"" for p in s.search_paths]
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return path
+
     def screenshot(self, path: str, tonemap: bool = True) -> str:
+        if self.cfg.render_mode == RenderMode.DEBUG_TIME_VIEW:
+            # already display-ready ramp colors — bypass the tonemapper
+            ldr = np.asarray(
+                jnp.clip(jnp.asarray(self.image_hdr()), 0.0, 1.0) * 255.0
+            ).astype(np.uint8)
+            if not path.endswith(".png"):
+                path += ".png"
+            write_png(path, ldr)
+            return path
         if tonemap:
             ldr = np.asarray(
                 tonemap_to_u8(jnp.asarray(self.image_hdr()), self.system.tonemapper)

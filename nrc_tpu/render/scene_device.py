@@ -16,6 +16,7 @@ import numpy as np
 
 from ..ops.intersect import TriSoA
 from ..ops.light_sampling import DeviceLights, upload_lights
+from ..ops.mbsdf import MBSDFTables
 from ..scene.materials import EmissionMode
 from ..scene.scene_builder import Scene
 
@@ -69,6 +70,10 @@ class DeviceScene(NamedTuple):
     mat_mod_a: jnp.ndarray              # [M, 3]
     mat_mod_b: jnp.ndarray              # [M, 3]
     mat_mod_exp: jnp.ndarray            # [M]
+    # measured BSDFs (ops/mbsdf.py; Device.cpp:3347-3663)
+    mat_mbsdf_index: jnp.ndarray        # [M] i32 (-1 = none)
+    mat_mbsdf_multiplier: jnp.ndarray   # [M]
+    mbsdf: object                       # ops.mbsdf.MBSDFTables
 
     lights: DeviceLights
     bvh: Optional[dict]
@@ -168,6 +173,16 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
         mat_mod_a=jnp.asarray(mt.mod_a),
         mat_mod_b=jnp.asarray(mt.mod_b),
         mat_mod_exp=jnp.asarray(mt.mod_exp),
+        mat_mbsdf_index=jnp.asarray(mt.mbsdf_index, jnp.int32),
+        mat_mbsdf_multiplier=jnp.asarray(mt.mbsdf_multiplier),
+        mbsdf=MBSDFTables(
+            eval_data=jnp.asarray(mt.mbsdf.eval),
+            cdf_theta=jnp.asarray(mt.mbsdf.cdf_theta),
+            cdf_phi=jnp.asarray(mt.mbsdf.cdf_phi),
+            albedo=jnp.asarray(mt.mbsdf.albedo),
+            max_albedo=jnp.asarray(mt.mbsdf.max_albedo),
+            has_part=jnp.asarray(mt.mbsdf.has_part),
+        ),
         lights=upload_lights(scene.lights, lr),
         bvh=bvh,
         curves=curves,

@@ -34,6 +34,7 @@ class Archetype(enum.IntEnum):
     DIFFUSE_TRANSMISSION = 7   # df::diffuse_transmission_bsdf
     NULL_BSDF = 8              # emission-only materials (black bsdf ends path)
     HAIR = 9                   # df::chiang_hair_bsdf (curve primitives)
+    MEASURED = 10              # df::measured_bsdf (data-driven, ops/mbsdf.py)
 
 NUM_ARCHETYPES = len(Archetype)
 
@@ -69,6 +70,10 @@ class Material:
     hair_absorption: Tuple[float, float, float] = (0.02, 0.3, 0.6)
     hair_cuticle_angle: float = 0.0524  # radians (3 deg default)
     hair_diffuse_weight: float = 0.0
+    # measured BSDF (df::measured_bsdf) — path to an .npz container or a
+    # MERL .binary measurement; loaded and CDF-built by scene/mbsdf.py
+    mbsdf_path: str = ""
+    mbsdf_multiplier: float = 1.0
     # 2D textures (MDL base::file_texture usages in the sample materials:
     # bsdf_diffuse_reflection_tex.mdl, bsdf_diffuse_reflection_cutout.mdl,
     # edf_diffuse_tex.mdl). Empty path = untextured. Paths are absolute
@@ -146,6 +151,10 @@ class MaterialTable:
     mod_a: np.ndarray = None        # [M, 3]
     mod_b: np.ndarray = None        # [M, 3]
     mod_exp: np.ndarray = None      # [M]
+    # measured BSDFs (df::measured_bsdf; Device.cpp:3347-3663)
+    mbsdf_index: np.ndarray = None       # [M] int32 (-1 = none)
+    mbsdf_multiplier: np.ndarray = None  # [M] f32
+    mbsdf: object = None                 # scene.mbsdf.MBSDFTableHost
 
     @staticmethod
     def build(materials: list[Material]) -> "MaterialTable":
@@ -191,7 +200,26 @@ class MaterialTable:
                 for c in range(3):
                     curve[i, :, c] = np.interp(x_dst, x_src, cv[:, c])
 
+        # measured BSDFs: dedup by path, stack into one table set
+        from .mbsdf import MBSDFTableHost, load_measurement
+
+        mbsdf_paths: list[str] = []
+        mbsdf_index = np.full(len(materials), -1, np.int32)
+        for i, m in enumerate(materials):
+            if m.mbsdf_path:
+                if m.mbsdf_path not in mbsdf_paths:
+                    mbsdf_paths.append(m.mbsdf_path)
+                mbsdf_index[i] = mbsdf_paths.index(m.mbsdf_path)
+        mbsdf = MBSDFTableHost.build(
+            [load_measurement(p) for p in mbsdf_paths]
+        )
+
         return MaterialTable(
+            mbsdf_index=mbsdf_index,
+            mbsdf_multiplier=np.asarray(
+                [m.mbsdf_multiplier for m in materials], np.float32
+            ),
+            mbsdf=mbsdf,
             albedo_tex=albedo_tex,
             cutout_tex=cutout_tex,
             emission_tex=emission_tex,

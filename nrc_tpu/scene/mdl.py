@@ -148,7 +148,8 @@ def _parse_leaf_bsdf(bsdf_name: str, args: str, params):
     mode = mode_m.group(1) if mode_m else "scatter_reflect"
     arch = _bsdf_archetype(bsdf_name, mode)
     albedo = (1.0, 1.0, 1.0)
-    tm = re.search(r"tint\s*:\s*([^,\n)]+)", args)
+    # value may be a call like color(r, g, b) — allow one paren level
+    tm = re.search(r"tint\s*:\s*((?:[^,()\n]|\([^()]*\))+)", args)
     if tm:
         albedo = _resolve_color(tm.group(1), params)
     ru = re.search(r"roughness_u\s*:\s*([^,\n)]+)", args)
@@ -485,23 +486,56 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
             mat.ior = _resolve_float(mm.group(1), params, 1.55)
         return mat
 
-    # scattering combinator (layers/mixes/modifiers) -> two-lobe blend
+    # measured BSDF (df::measured_bsdf(measurement: bsdf_measurement("p")))
+    # -> data-driven archetype over scene/mbsdf.py tables. The measurement
+    # may be inline or bound to a parameter / let variable. Balanced-paren
+    # extraction — the inline bsdf_measurement("...") nests parentheses.
     comb = _find_df_call(text, r"scattering\s*:")
-    is_combinator = bool(comb and comb[0] in _COMBINATORS)
+    if comb and comb[0] == "measured_bsdf":
+        args = comb[1]
+        meas_files = {
+            v.group(1): v.group(2)
+            for v in re.finditer(
+                r"(\w+)\s*=\s*bsdf_measurement\(\s*\"([^\"]+)\"\s*\)", text
+            )
+        }
+        fm = re.search(r"bsdf_measurement\(\s*\"([^\"]+)\"\s*\)", args)
+        rel = fm.group(1) if fm else None
+        if rel is None:
+            vm = re.search(r"measurement\s*:\s*(\w+)", args)
+            if vm and vm.group(1) in meas_files:
+                rel = meas_files[vm.group(1)]
+        if rel is not None:
+            mat.archetype = Archetype.MEASURED
+            mat.mbsdf_path = os.path.normpath(
+                os.path.join(os.path.dirname(path), rel)
+            )
+            mult = re.search(r"multiplier\s*:\s*([^,\n)]+)", args)
+            if mult:
+                mat.mbsdf_multiplier = _resolve_float(mult.group(1), params, 1.0)
+    is_measured = mat.archetype == Archetype.MEASURED
+
+    # scattering combinator (layers/mixes/modifiers) -> two-lobe blend
+    is_combinator = bool(
+        not is_measured and comb and comb[0] in _COMBINATORS
+    )
     if is_combinator:
         _parse_combinator(mat, comb[0], comb[1], params)
         m = None
+    elif is_measured:
+        m = None
     else:
-        # elemental scattering BSDF
+        # elemental scattering BSDF (args may nest one call level, e.g.
+        # tint: color(r, g, b))
         m = re.search(
-            r"scattering\s*:\s*df::(\w+)\s*\(([^)]*(?:\([^)]*\)[^)]*)*)\)", text
+            r"scattering\s*:\s*df::(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)", text
         )
     if m:
         bsdf_name, args = m.group(1), m.group(2)
         mode_m = re.search(r"mode\s*:\s*(?:df::)?(\w+)", args)
         mode = mode_m.group(1) if mode_m else "scatter_reflect"
         mat.archetype = _bsdf_archetype(bsdf_name, mode)
-        tint_m = re.search(r"tint\s*:\s*([^,\n]+)", args)
+        tint_m = re.search(r"tint\s*:\s*((?:[^,()\n]|\([^()]*\))+)", args)
         if tint_m:
             expr = tint_m.group(1)
             tex = _tex_of_expr(expr)
@@ -524,7 +558,7 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
             _resolve_float(ru.group(1), params, 0.1) if ru else mat.roughness[0],
             _resolve_float(rv.group(1), params, 0.1) if rv else mat.roughness[1],
         )
-    elif not is_combinator:
+    elif not is_combinator and not is_measured:
         mat.archetype = Archetype.NULL_BSDF
 
     # material-level ior

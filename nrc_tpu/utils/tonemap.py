@@ -41,3 +41,32 @@ def tonemap(hdr: jnp.ndarray, cfg: TonemapperConfig) -> jnp.ndarray:
 
 def tonemap_to_u8(hdr: jnp.ndarray, cfg: TonemapperConfig) -> jnp.ndarray:
     return (tonemap(hdr, cfg) * 255.0).astype(jnp.uint8)
+
+
+# Cold-to-hot ramp of the reference's USE_TIME_VIEW display path
+# (``Rasterizer.cpp:306-345``): blue, green, red, yellow, white at
+# u = 0, .25, .5, .75, 1.
+_RAMP_U = (0.0, 0.25, 0.5, 0.75, 1.0)
+_RAMP_C = (
+    (0.0, 0.0, 1.0),
+    (0.0, 1.0, 0.0),
+    (1.0, 0.0, 0.0),
+    (1.0, 1.0, 0.0),
+    (1.0, 1.0, 1.0),
+)
+
+
+def time_view_ramp(x: jnp.ndarray) -> jnp.ndarray:
+    """[...,] in [0, 1] -> [..., 3] through the cold-to-hot color ramp."""
+    x = jnp.clip(x, 0.0, 1.0)
+    out = jnp.zeros((*x.shape, 3), x.dtype)
+    for i in range(len(_RAMP_U) - 1):
+        u0, u1 = _RAMP_U[i], _RAMP_U[i + 1]
+        c0 = jnp.asarray(_RAMP_C[i], x.dtype)
+        c1 = jnp.asarray(_RAMP_C[i + 1], x.dtype)
+        t = jnp.clip((x - u0) / (u1 - u0), 0.0, 1.0)[..., None]
+        seg = c0 + t * (c1 - c0)
+        lo = (x >= u0) if i else (x >= -1.0)
+        hi = (x < u1) if i + 2 < len(_RAMP_U) else (x <= 1.0)
+        out = jnp.where((lo & hi)[..., None], seg, out)
+    return out
