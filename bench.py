@@ -48,17 +48,21 @@ def main():
     dev = jax.devices()[0]
     log(f"bench device: {dev.platform} {dev.device_kind}")
 
-    # warmup: compile + a few steady-state frames
+    # warmup: compile + a few steady-state frames (scalar readback = true
+    # completion barrier, see below)
     for _ in range(3):
         r.render_frame()
-    jax.block_until_ready(r.image)
+    float(jnp.ravel(r.image)[0])
 
     spp = int(os.environ.get("BENCH_SPP", "32"))
     t0 = time.perf_counter()
     for _ in range(spp):
         r.render_frame()
-    jax.block_until_ready(r.image)
-    jax.block_until_ready(r.net_state.params.w_in)
+    # True completion barrier: a scalar readback of values that depend on
+    # every frame. (block_until_ready alone can return early on relayed
+    # remote backends, which would inflate the result.)
+    float(jnp.ravel(r.image)[0])
+    float(jnp.ravel(r.net_state.params.w_in)[0])
     dt = time.perf_counter() - t0
 
     fps = spp / dt

@@ -109,6 +109,7 @@ def main(argv=None) -> int:
     jax.block_until_ready(r.image)
     dt = time.perf_counter() - t0
     print(f"{spp} spp in {dt:.2f}s -> {spp / dt:.2f} fps")
+    driver.flush_stats() if hasattr(driver, "flush_stats") else None
     if r.loss_history:
         h = list(r.loss_history)
         print(

@@ -200,6 +200,10 @@ class FrameConfig:
     # declares cutout opacity (scalar or texture).
     has_textures: bool = False
     has_cutout: bool = False
+    # Static set of BSDF archetypes present in the scene (None = all):
+    # specializes the compiled lobe families, the analog of the reference
+    # JIT-compiling only declared MDL materials (Raytracer.cpp:1968-2163).
+    archetype_set: object = None  # Optional[frozenset[int]]
     # Layered/mixed/modified materials (two-lobe blends, angular factors)
     # compile in only when the scene uses MDL combinators.
     has_layered: bool = False

@@ -89,6 +89,27 @@ def _is(arch, *types):
     return m
 
 
+def _family_flags(families):
+    """Static per-family presence flags from a scene's archetype set."""
+    if families is None:
+        return True, True, True, True, True, True
+    fams = {int(f) for f in families}
+    has_dr = int(Archetype.DIFFUSE_REFLECTION) in fams
+    has_dt = int(Archetype.DIFFUSE_TRANSMISSION) in fams
+    has_grt = int(Archetype.GGX_REFLECT_TRANSMIT) in fams
+    has_ggx = has_grt or bool(
+        fams & {int(Archetype.GGX_REFLECT), int(Archetype.GGX_TRANSMIT)}
+    )
+    has_st = int(Archetype.SPECULAR_TRANSMIT) in fams
+    has_spec = has_st or bool(
+        fams & {
+            int(Archetype.SPECULAR_REFLECT),
+            int(Archetype.SPECULAR_REFLECT_TRANSMIT),
+        }
+    )
+    return has_dr, has_dt, has_ggx, has_spec, has_grt, has_st
+
+
 def fresnel_dielectric(cos_i: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
     """Unpolarized dielectric Fresnel. ``eta`` = n_transmitted / n_incident.
 
@@ -162,100 +183,127 @@ def bsdf_sample(
     xi: jnp.ndarray,        # [N, 4]
     eta_i: jnp.ndarray,     # [N] incident-medium ior (stack top)
     eta_t: jnp.ndarray,     # [N] transmitted-side ior
+    families=None,          # static frozenset of Archetype ints, or None=all
 ) -> BSDFSample:
-    """Importance-sample the per-ray archetype BSDF (``hit.cu:306-337``)."""
+    """Importance-sample the per-ray archetype BSDF (``hit.cu:306-337``).
+
+    ``families`` statically specializes the compiled program to the
+    archetypes actually present in the scene — the TPU analog of the
+    reference JIT-compiling only the MDL materials a scene declares
+    (``Raytracer::initMaterialsMDL``): absent lobe families cost nothing.
+    """
     arch = params.archetype
     tint = params.albedo
+    has_dr, has_dt, has_ggx, has_spec, has_grt, has_st = _family_flags(families)
     front = dot(wo, ng) >= 0.0
     # normal oriented to the wo side for sampling
     sgn = jnp.where(dot(wo, ns) >= 0.0, 1.0, -1.0)
     nf = ns * sgn[..., None]
     eta = jnp.maximum(eta_t, 1e-6) / jnp.maximum(eta_i, 1e-6)
+    z1 = jnp.zeros_like(eta)
+    z3 = jnp.zeros_like(wo)
+    f0 = jnp.zeros_like(arch)
 
     # --- diffuse family -------------------------------------------------
     is_dr = _is(arch, Archetype.DIFFUSE_REFLECTION)
     is_dt = _is(arch, Archetype.DIFFUSE_TRANSMISSION)
-    phi_d = 2.0 * M_PI * xi[..., 0]
-    r = jnp.sqrt(jnp.clip(xi[..., 1], 0.0, 1.0))
-    local = jnp.stack(
-        [
-            r * jnp.cos(phi_d),
-            r * jnp.sin(phi_d),
-            jnp.sqrt(jnp.maximum(1.0 - r * r, 0.0)),
-        ],
-        axis=-1,
-    )
-    wi_dr = align_vector(nf, local)
-    wi_dt = align_vector(-nf, local)
-    cos_dr = jnp.maximum(dot(wi_dr, nf), 0.0)
-    pdf_diffuse = jnp.maximum(local[..., 2], 0.0) / M_PI
+    if has_dr or has_dt:
+        phi_d = 2.0 * M_PI * xi[..., 0]
+        r = jnp.sqrt(jnp.clip(xi[..., 1], 0.0, 1.0))
+        local = jnp.stack(
+            [
+                r * jnp.cos(phi_d),
+                r * jnp.sin(phi_d),
+                jnp.sqrt(jnp.maximum(1.0 - r * r, 0.0)),
+            ],
+            axis=-1,
+        )
+        wi_dr = align_vector(nf, local) if has_dr else z3
+        wi_dt = align_vector(-nf, local) if has_dt else z3
+        pdf_diffuse = jnp.maximum(local[..., 2], 0.0) / M_PI
+    else:
+        wi_dr = wi_dt = z3
+        pdf_diffuse = z1
 
     # --- GGX family -----------------------------------------------------
-    alpha = _ggx_alpha(params.roughness)
-    h = _sample_ggx_h(nf, alpha, xi[..., 2:4])
-    woh = dot(wo, h)
-    h_ok = woh > 1e-6
-    wi_gr = normalize(2.0 * woh[..., None] * h - wo)
-    cos_hn = dot(h, nf)
-    d_term = ggx_d(cos_hn, alpha)
-    pdf_gr = safe_div(d_term * jnp.maximum(cos_hn, 0.0), 4.0 * jnp.maximum(woh, 1e-12))
-    cos_o = jnp.abs(dot(wo, nf))
-    cos_i_gr = dot(wi_gr, nf)
-    g_gr = ggx_g1(cos_o, alpha) * ggx_g1(cos_i_gr, alpha)
-    # weight = f*cos/pdf = G * woh / (cos_o * cos_hn)
-    w_gr = safe_div(g_gr * woh, cos_o * jnp.maximum(cos_hn, 1e-12))
-    gr_ok = h_ok & (cos_i_gr > 1e-6)
-
-    # GGX transmission through h
-    wi_gt, tir_g = refract_dir(wo, h, eta)
-    cos_i_gt = dot(wi_gt, nf)
-    gt_ok = h_ok & (cos_i_gt < -1e-6) & ~tir_g
-    g_gt = ggx_g1(cos_o, alpha) * ggx_g1(cos_i_gt, alpha)
-    w_gt = safe_div(g_gt * woh, cos_o * jnp.maximum(cos_hn, 1e-12))
-    # approximate transmission pdf via the half-vector pdf (consistent weight)
-    pdf_gt = pdf_gr
-
-    # Fresnel lobe choice for reflect_transmit modes
-    f_g = fresnel_dielectric(woh, eta)
     is_gr = _is(arch, Archetype.GGX_REFLECT)
     is_gt = _is(arch, Archetype.GGX_TRANSMIT)
     is_grt = _is(arch, Archetype.GGX_REFLECT_TRANSMIT)
-    choose_reflect_g = xi[..., 0] < f_g  # reuse xi0: independent of h sample
-    ggx_reflect = is_gr | (is_grt & choose_reflect_g) | (is_grt & tir_g)
-    wi_ggx = jnp.where(ggx_reflect[..., None], wi_gr, wi_gt)
-    ok_ggx = jnp.where(ggx_reflect, gr_ok, gt_ok)
-    w_ggx = jnp.where(ggx_reflect, w_gr, w_gt)
-    pdf_ggx = jnp.where(ggx_reflect, pdf_gr, pdf_gt)
-    # lobe-choice probability folds out of weight (w = f*cos/(pdf*P) * P)
-    pdf_ggx = jnp.where(
-        is_grt, pdf_ggx * jnp.where(ggx_reflect, f_g, 1.0 - f_g), pdf_ggx
-    )
-    ev_ggx = jnp.where(
-        ggx_reflect,
-        np.int32(BSDF_EVENT_GLOSSY_REFLECTION),
-        np.int32(BSDF_EVENT_GLOSSY_TRANSMISSION),
-    )
+    if has_ggx:
+        alpha = _ggx_alpha(params.roughness)
+        h = _sample_ggx_h(nf, alpha, xi[..., 2:4])
+        woh = dot(wo, h)
+        h_ok = woh > 1e-6
+        wi_gr = normalize(2.0 * woh[..., None] * h - wo)
+        cos_hn = dot(h, nf)
+        d_term = ggx_d(cos_hn, alpha)
+        pdf_gr = safe_div(
+            d_term * jnp.maximum(cos_hn, 0.0), 4.0 * jnp.maximum(woh, 1e-12)
+        )
+        cos_o = jnp.abs(dot(wo, nf))
+        cos_i_gr = dot(wi_gr, nf)
+        g_gr = ggx_g1(cos_o, alpha) * ggx_g1(cos_i_gr, alpha)
+        # weight = f*cos/pdf = G * woh / (cos_o * cos_hn)
+        w_gr = safe_div(g_gr * woh, cos_o * jnp.maximum(cos_hn, 1e-12))
+        gr_ok = h_ok & (cos_i_gr > 1e-6)
+
+        # GGX transmission through h
+        wi_gt, tir_g = refract_dir(wo, h, eta)
+        cos_i_gt = dot(wi_gt, nf)
+        gt_ok = h_ok & (cos_i_gt < -1e-6) & ~tir_g
+        g_gt = ggx_g1(cos_o, alpha) * ggx_g1(cos_i_gt, alpha)
+        w_gt = safe_div(g_gt * woh, cos_o * jnp.maximum(cos_hn, 1e-12))
+        # approximate transmission pdf via the half-vector pdf
+        pdf_gt = pdf_gr
+
+        # Fresnel lobe choice for reflect_transmit modes
+        f_g = fresnel_dielectric(woh, eta) if has_grt else z1
+        choose_reflect_g = xi[..., 0] < f_g  # xi0: independent of h sample
+        ggx_reflect = is_gr | (is_grt & choose_reflect_g) | (is_grt & tir_g)
+        wi_ggx = jnp.where(ggx_reflect[..., None], wi_gr, wi_gt)
+        ok_ggx = jnp.where(ggx_reflect, gr_ok, gt_ok)
+        w_ggx = jnp.where(ggx_reflect, w_gr, w_gt)
+        pdf_ggx = jnp.where(ggx_reflect, pdf_gr, pdf_gt)
+        # lobe-choice probability folds out of weight
+        pdf_ggx = jnp.where(
+            is_grt, pdf_ggx * jnp.where(ggx_reflect, f_g, 1.0 - f_g), pdf_ggx
+        )
+        ev_ggx = jnp.where(
+            ggx_reflect,
+            np.int32(BSDF_EVENT_GLOSSY_REFLECTION),
+            np.int32(BSDF_EVENT_GLOSSY_TRANSMISSION),
+        )
+    else:
+        wi_ggx, ok_ggx, w_ggx, pdf_ggx = z3, is_gr, z1, z1
+        ev_ggx = f0
 
     # --- specular family ------------------------------------------------
-    wi_sr = reflect(-wo, nf)
-    wi_st, tir_s = refract_dir(wo, nf, eta)
-    f_s = fresnel_dielectric(dot(wo, nf), eta)
     is_sr = _is(arch, Archetype.SPECULAR_REFLECT)
     is_st = _is(arch, Archetype.SPECULAR_TRANSMIT)
     is_srt = _is(arch, Archetype.SPECULAR_REFLECT_TRANSMIT)
-    choose_reflect_s = xi[..., 0] < f_s
-    spec_reflect = is_sr | (is_srt & (choose_reflect_s | tir_s))
-    wi_spec = jnp.where(spec_reflect[..., None], wi_sr, wi_st)
-    # ideal dirac: reflect_transmit weight = tint (Fresnel cancels against the
-    # lobe-choice probability); pure transmit loses the Fresnel-reflected
-    # fraction (1-F) and is absorbed on TIR (no reflect lobe in that mode)
-    w_spec = jnp.where(is_st, (1.0 - f_s), jnp.ones_like(f_s))
-    ok_spec = ~(is_st & tir_s)
-    ev_spec = jnp.where(
-        spec_reflect,
-        np.int32(BSDF_EVENT_SPECULAR_REFLECTION),
-        np.int32(BSDF_EVENT_SPECULAR_TRANSMISSION),
-    )
+    if has_spec:
+        wi_sr = reflect(-wo, nf)
+        wi_st, tir_s = refract_dir(wo, nf, eta)
+        f_s = fresnel_dielectric(dot(wo, nf), eta)
+        choose_reflect_s = xi[..., 0] < f_s
+        spec_reflect = is_sr | (is_srt & (choose_reflect_s | tir_s))
+        wi_spec = jnp.where(spec_reflect[..., None], wi_sr, wi_st)
+        # ideal dirac: reflect_transmit weight = tint (Fresnel cancels
+        # against the lobe-choice probability); pure transmit loses the
+        # Fresnel-reflected fraction (1-F) and is absorbed on TIR
+        w_spec = (
+            jnp.where(is_st, (1.0 - f_s), jnp.ones_like(f_s))
+            if has_st else jnp.ones_like(f_s)
+        )
+        ok_spec = ~(is_st & tir_s)
+        ev_spec = jnp.where(
+            spec_reflect,
+            np.int32(BSDF_EVENT_SPECULAR_REFLECTION),
+            np.int32(BSDF_EVENT_SPECULAR_TRANSMISSION),
+        )
+    else:
+        wi_spec, w_spec, ok_spec = z3, z1, is_sr
+        ev_spec = f0
 
     # --- combine --------------------------------------------------------
     is_diffuse_f = is_dr | is_dt
@@ -315,42 +363,61 @@ def bsdf_eval(
     ns: jnp.ndarray,
     eta_i: jnp.ndarray,
     eta_t: jnp.ndarray,
+    families=None,          # static frozenset of Archetype ints, or None=all
 ) -> BSDFEval:
     arch = params.archetype
     tint = params.albedo
+    has_dr, has_dt, has_ggx, _, has_grt, _ = _family_flags(families)
     sgn = jnp.where(dot(wo, ns) >= 0.0, 1.0, -1.0)
     nf = ns * sgn[..., None]
     cos_i = dot(wi, nf)
-    eta = jnp.maximum(eta_t, 1e-6) / jnp.maximum(eta_i, 1e-6)
+    z1 = jnp.zeros_like(cos_i)
+    z3 = jnp.zeros_like(wo)
 
     # diffuse reflection
-    f_dr = tint / M_PI * jnp.maximum(cos_i, 0.0)[..., None]
-    pdf_dr = jnp.maximum(cos_i, 0.0) / M_PI
+    if has_dr:
+        f_dr = tint / M_PI * jnp.maximum(cos_i, 0.0)[..., None]
+        pdf_dr = jnp.maximum(cos_i, 0.0) / M_PI
+    else:
+        f_dr, pdf_dr = z3, z1
     # diffuse transmission (opposite hemisphere)
-    f_dt = tint / M_PI * jnp.maximum(-cos_i, 0.0)[..., None]
-    pdf_dt = jnp.maximum(-cos_i, 0.0) / M_PI
+    if has_dt:
+        f_dt = tint / M_PI * jnp.maximum(-cos_i, 0.0)[..., None]
+        pdf_dt = jnp.maximum(-cos_i, 0.0) / M_PI
+    else:
+        f_dt, pdf_dt = z3, z1
 
     # GGX reflection lobe
-    alpha = _ggx_alpha(params.roughness)
-    h = normalize(wo + wi)
-    cos_hn = dot(h, nf)
-    woh = jnp.maximum(dot(wo, h), 1e-12)
-    d_term = ggx_d(cos_hn, alpha)
-    cos_o = jnp.abs(dot(wo, nf))
-    g = ggx_g1(cos_o, alpha) * ggx_g1(cos_i, alpha)
-    refl_ok = (cos_i > 1e-6) & (cos_o > 1e-6)
-    f_ggx_scalar = jnp.where(
-        refl_ok, safe_div(d_term * g, 4.0 * cos_o), 0.0
-    )  # f * cos_i already folded: D*G/(4 cosO cosI) * cosI
-    pdf_ggx = jnp.where(
-        refl_ok, safe_div(d_term * jnp.maximum(cos_hn, 0.0), 4.0 * woh), 0.0
-    )
-    f_grt = fresnel_dielectric(woh, eta)
-    is_gr = _is(arch, Archetype.GGX_REFLECT)
-    is_grt = _is(arch, Archetype.GGX_REFLECT_TRANSMIT)
-    f_ggx = tint * jnp.where(is_grt, f_ggx_scalar * f_grt, f_ggx_scalar)[..., None]
-    pdf_ggx = jnp.where(is_grt, pdf_ggx * f_grt, pdf_ggx)
+    if has_ggx:
+        eta = jnp.maximum(eta_t, 1e-6) / jnp.maximum(eta_i, 1e-6)
+        alpha = _ggx_alpha(params.roughness)
+        h = normalize(wo + wi)
+        cos_hn = dot(h, nf)
+        woh = jnp.maximum(dot(wo, h), 1e-12)
+        d_term = ggx_d(cos_hn, alpha)
+        cos_o = jnp.abs(dot(wo, nf))
+        g = ggx_g1(cos_o, alpha) * ggx_g1(cos_i, alpha)
+        refl_ok = (cos_i > 1e-6) & (cos_o > 1e-6)
+        f_ggx_scalar = jnp.where(
+            refl_ok, safe_div(d_term * g, 4.0 * cos_o), 0.0
+        )  # f * cos_i already folded: D*G/(4 cosO cosI) * cosI
+        pdf_ggx = jnp.where(
+            refl_ok, safe_div(d_term * jnp.maximum(cos_hn, 0.0), 4.0 * woh), 0.0
+        )
+        is_grt = _is(arch, Archetype.GGX_REFLECT_TRANSMIT)
+        if has_grt:
+            f_grt = fresnel_dielectric(woh, eta)
+            f_ggx = tint * jnp.where(
+                is_grt, f_ggx_scalar * f_grt, f_ggx_scalar
+            )[..., None]
+            pdf_ggx = jnp.where(is_grt, pdf_ggx * f_grt, pdf_ggx)
+        else:
+            f_ggx = tint * f_ggx_scalar[..., None]
+    else:
+        is_grt = _is(arch, Archetype.GGX_REFLECT_TRANSMIT)
+        f_ggx, pdf_ggx = z3, z1
 
+    is_gr = _is(arch, Archetype.GGX_REFLECT)
     is_dr = _is(arch, Archetype.DIFFUSE_REFLECTION)
     is_dt = _is(arch, Archetype.DIFFUSE_TRANSMISSION)
     is_ggx = is_gr | is_grt | _is(arch, Archetype.GGX_TRANSMIT)

@@ -191,13 +191,15 @@ def layered_sample(
     xi: jnp.ndarray,        # [N, 5] (xi[4] picks the lobe)
     eta_i: jnp.ndarray,
     eta_t: jnp.ndarray,
+    families=None,          # static archetype set (both lobes)
 ) -> B.BSDFSample:
     sgn = jnp.where(dot(wo, ns) >= 0.0, 1.0, -1.0)
     cos_o = dot(wo, ns * sgn[..., None])
     w1, w2, p_1 = blend_weights(bp, cos_o)
     pick1 = xi[..., 4] < p_1
     sel = _select_params(pick1, p1, p2)
-    smp = B.bsdf_sample(sel, wo, ns, ng, xi[..., :4], eta_i, eta_t)
+    smp = B.bsdf_sample(sel, wo, ns, ng, xi[..., :4], eta_i, eta_t,
+                        families=families)
 
     single = bp.blend_mode == BLEND_NONE
     dirac = (smp.event & B.BSDF_EVENT_SPECULAR) != 0
@@ -209,8 +211,8 @@ def layered_sample(
     w_dirac = smp.bsdf_over_pdf * safe_div(w_pick, p_pick[..., None])
 
     # non-dirac: full mixture f / mixture pdf at the sampled direction
-    e1 = B.bsdf_eval(p1, wo, smp.wi, ns, eta_i, eta_t)
-    e2 = B.bsdf_eval(p2, wo, smp.wi, ns, eta_i, eta_t)
+    e1 = B.bsdf_eval(p1, wo, smp.wi, ns, eta_i, eta_t, families=families)
+    e2 = B.bsdf_eval(p2, wo, smp.wi, ns, eta_i, eta_t, families=families)
     f_mix = w1 * e1.bsdf + w2 * e2.bsdf
     pdf_mix = p_1 * e1.pdf + (1.0 - p_1) * e2.pdf
     # transmission lobes aren't covered by bsdf_eval (reflection-only NEE
@@ -245,13 +247,14 @@ def layered_eval(
     ns: jnp.ndarray,
     eta_i: jnp.ndarray,
     eta_t: jnp.ndarray,
+    families=None,          # static archetype set (both lobes)
 ) -> B.BSDFEval:
     sgn = jnp.where(dot(wo, ns) >= 0.0, 1.0, -1.0)
     cos_o = dot(wo, ns * sgn[..., None])
     w1, w2, p_1 = blend_weights(bp, cos_o)
-    e1 = B.bsdf_eval(p1, wo, wi, ns, eta_i, eta_t)
+    e1 = B.bsdf_eval(p1, wo, wi, ns, eta_i, eta_t, families=families)
     single = (bp.blend_mode == BLEND_NONE)
-    e2 = B.bsdf_eval(p2, wo, wi, ns, eta_i, eta_t)
+    e2 = B.bsdf_eval(p2, wo, wi, ns, eta_i, eta_t, families=families)
     f = jnp.where(
         single[..., None], e1.bsdf, w1 * e1.bsdf + w2 * e2.bsdf
     ) * modifier_factor(bp, cos_o)

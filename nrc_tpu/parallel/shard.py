@@ -197,8 +197,20 @@ class ParallelRenderer:
         r.total_subframe += 1
         r.last_stats = stats
         if r.cfg.train:
-            r.loss_history.append(float(stats.loss))
+            # deferred async stats readback (see Renderer.render_frame)
+            for leaf in (stats.loss, stats.num_train_records):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+            r._pending_stats.append(stats)
+            if len(r._pending_stats) > 2:
+                r.loss_history.append(float(r._pending_stats.popleft().loss))
         return stats
+
+    def flush_stats(self):
+        while self.r._pending_stats:
+            self.r.loss_history.append(
+                float(self.r._pending_stats.popleft().loss)
+            )
 
     def render(self, spp: int):
         for _ in range(spp):

@@ -272,6 +272,17 @@ def frame_step(
         image = jnp.maximum(image, heat)
 
     # ---- training --------------------------------------------------------
+    # NRC_PROFILE_SKIP truncates the frame program after a named stage
+    # ("all" = right after the wavefronts, "assemble" = after propagation,
+    # "train" = after batch assembly) — a stage-timing harness for the
+    # profiler, never set in production.
+    import os
+    _skip = os.environ.get("NRC_PROFILE_SKIP", "")
+    if cfg.train and "all" in _skip:
+        return image, net_state, FrameStats(
+            loss=jnp.sum(train_out.rec_target) * 0.0,
+            num_train_records=jnp.sum(train_out.rec_count),
+        )
     if cfg.train:
         targets = propagate_radiance(
             train_out.rec_target,
@@ -280,12 +291,22 @@ def frame_step(
             cache_end,
             train_out.end_mask,
         )
+        if "assemble" in _skip:
+            return image, net_state, FrameStats(
+                loss=jnp.sum(targets) * 0.0,
+                num_train_records=jnp.sum(train_out.rec_count),
+            )
         shuffle_key = jax.random.fold_in(
             jax.random.PRNGKey(0x5EED), total_subframe
         )
         batch_q, batch_t, num_records = assemble_training_batches(
             shuffle_key, train_out.rec_query, targets, train_out.rec_count
         )
+        if "train" in _skip:
+            return image, net_state, FrameStats(
+                loss=jnp.sum(batch_q) * 0.0 + jnp.sum(batch_t) * 0.0,
+                num_train_records=num_records,
+            )
 
         def do_train(ns):
             def body(carry, batch):

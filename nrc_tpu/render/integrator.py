@@ -544,10 +544,13 @@ def trace_wavefront(
             sample = LY.layered_sample(
                 params, params2, bp, wo, ns, ng,
                 jnp.concatenate([xi, xi_lobe[..., None]], axis=-1),
-                eta_i, eta_t,
+                eta_i, eta_t, families=cfg.archetype_set,
             )
         else:
-            sample = B.bsdf_sample(params, wo, ns, ng, xi, eta_i, eta_t)
+            sample = B.bsdf_sample(
+                params, wo, ns, ng, xi, eta_i, eta_t,
+                families=cfg.archetype_set,
+            )
         if has_measured:
             is_measured = params.archetype == int(Archetype.MEASURED)
             nf_m = jnp.where(dot(wo, ns)[..., None] >= 0.0, ns, -ns)
@@ -740,10 +743,14 @@ def trace_wavefront(
             ls = sample_lights(scene.lights, p_hit, xi_l, tex_ctx=nee_tex_ctx)
             ev = (
                 LY.layered_eval(
-                    params, params2, bp, wo, ls.direction, ns, eta_i, eta_t
+                    params, params2, bp, wo, ls.direction, ns, eta_i, eta_t,
+                    families=cfg.archetype_set,
                 )
                 if has_layered
-                else B.bsdf_eval(params, wo, ls.direction, ns, eta_i, eta_t)
+                else B.bsdf_eval(
+                    params, wo, ls.direction, ns, eta_i, eta_t,
+                    families=cfg.archetype_set,
+                )
             )
             if has_measured:
                 fcos_m, pdf_em = MB.measured_eval(
@@ -913,16 +920,37 @@ def trace_wavefront(
         )
 
     # Depth 0 computes the area threshold (structurally different), so it is
-    # unrolled; all later bounces are one traced body compiled once by scan.
+    # unrolled; all later bounces are one traced body compiled once into a
+    # while_loop that exits as soon as every lane has terminated. In FULL
+    # mode the area-spread heuristic truncates most paths into the cache
+    # within 1-2 bounces, so the loop typically runs far fewer than
+    # ``max_depth`` iterations — the TPU analog of the megakernel simply
+    # having no threads left. The bounce body contains no collectives, so
+    # per-shard divergent trip counts are safe under shard_map.
     state = bounce(state, True, np.int32(0))
     if cfg.max_depth >= 1:
+        import os
 
-        def scan_body(s, depth_val):
-            return bounce(s, False, depth_val), None
+        if os.environ.get("NRC_BOUNCE_SCAN", "0") == "1":
+            def scan_body(s, depth_val):
+                return bounce(s, False, depth_val), None
 
-        state, _ = jax.lax.scan(
-            scan_body, state, jnp.arange(1, cfg.max_depth + 1, dtype=jnp.int32)
-        )
+            state, _ = jax.lax.scan(
+                scan_body, state,
+                jnp.arange(1, cfg.max_depth + 1, dtype=jnp.int32),
+            )
+        else:
+            def loop_cond(carry):
+                s, depth = carry
+                return (depth <= cfg.max_depth) & jnp.any(s.alive)
+
+            def loop_body(carry):
+                s, depth = carry
+                return bounce(s, False, depth), depth + 1
+
+            state, _ = jax.lax.while_loop(
+                loop_cond, loop_body, (state, jnp.int32(1))
+            )
 
     # max-depth cleanup (raygeneration.cu:274-284): surviving render rays
     # contribute no cache radiance; surviving train rays end unbiased.

@@ -91,6 +91,12 @@ class Renderer:
                 or np.max(scene.materials.cutout_tex) >= 0
             ),
             has_measured=bool(np.max(scene.materials.mbsdf_index) >= 0),
+            # static lobe-family specialization: compile only the archetypes
+            # this scene declares (both blend lobes)
+            archetype_set=frozenset(
+                np.unique(scene.materials.archetype).tolist()
+                + np.unique(scene.materials.archetype2).tolist()
+            ),
         )
 
         # Fused Pallas MLP (tiny-cuda-nn equivalent): 23% faster than the XLA
@@ -110,6 +116,7 @@ class Renderer:
         from collections import deque
 
         self.loss_history = deque(maxlen=256)
+        self._pending_stats = deque()
         self._step_cache = {}
 
     # -- state management --------------------------------------------------
@@ -164,16 +171,38 @@ class Renderer:
         self.total_subframe += 1
         self.last_stats = stats
         if self.cfg.train:
-            # stats-window loss ring buffer (256-frame plot,
-            # Application.cpp:1020-1048); float() syncs after the frame, the
-            # same once-per-frame readback the reference does
-            self.loss_history.append(float(stats.loss))
-        if self.adaptive_tiles and self.cfg.train:
+            # Defer the stats readback: start an async device->host copy now
+            # and consume it a couple of frames later, when it has already
+            # landed — the frame loop never blocks on a readback round trip.
+            # (The reference synchronously reads numTrainingRecords mid-frame,
+            # Device.cpp:2487-2491 — its one hard sync; we keep even the
+            # *end-of-frame* read off the critical path.)
+            for leaf in (stats.loss, stats.num_train_records):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+            self._pending_stats.append(stats)
+            if len(self._pending_stats) > 2:
+                self._consume_stats(self._pending_stats.popleft())
+        return stats
+
+    def _consume_stats(self, stats) -> None:
+        # stats-window loss ring buffer (256-frame plot,
+        # Application.cpp:1020-1048)
+        self.loss_history.append(float(stats.loss))
+        if self.adaptive_tiles:
+            # adaptive tile sizing from a ~2-frame-old record count
+            # (Device::adjustTileSize, Device.cpp:818-828; the lag only
+            # delays the tile-size ramp by two frames)
             n = int(stats.num_train_records)
             new_ts = adjust_tile_size(self.cfg.tile_size, n)
             if new_ts != self.cfg.tile_size:
                 self.cfg = dataclasses.replace(self.cfg, tile_size=new_ts)
-        return stats
+
+    def flush_stats(self) -> None:
+        """Drain deferred per-frame stats (call before reading
+        ``loss_history`` at end of run)."""
+        while self._pending_stats:
+            self._consume_stats(self._pending_stats.popleft())
 
     def render(self, spp: int):
         for _ in range(spp):

@@ -114,6 +114,10 @@ class TestLossHistory:
                      adaptive_tiles=False)
         for _ in range(4):
             r.render_frame()
+        # readbacks are deferred (async, ~2-frame lag) so the loop never
+        # blocks on the device; flush drains the tail
+        assert len(r.loss_history) == 2
+        r.flush_stats()
         assert len(r.loss_history) == 4
         assert all(np.isfinite(x) for x in r.loss_history)
         assert r.loss_history.maxlen == 256
