@@ -32,20 +32,35 @@ BVH_THRESHOLD = 16384  # switch to BVH traversal above this many triangles
 
 
 class TriSoA(NamedTuple):
-    """Precomputed triangle SoA for Möller–Trumbore."""
+    """Precomputed triangle SoA for Möller–Trumbore.
+
+    ``packed`` ([T, 9] = p0|e1|e2) serves the per-winner epilogue with ONE
+    row gather instead of three (TPU gathers are per-row latency-bound;
+    row width is nearly free).
+    """
 
     p0: jnp.ndarray  # [T, 3]
     e1: jnp.ndarray  # [T, 3] = p1 - p0
     e2: jnp.ndarray  # [T, 3] = p2 - p0
+    packed: jnp.ndarray = None  # [T, 9] = p0|e1|e2 (optional)
 
     @staticmethod
     def build(p0, p1, p2) -> "TriSoA":
         p0 = jnp.asarray(p0, jnp.float32)
-        return TriSoA(p0, jnp.asarray(p1, jnp.float32) - p0, jnp.asarray(p2, jnp.float32) - p0)
+        e1 = jnp.asarray(p1, jnp.float32) - p0
+        e2 = jnp.asarray(p2, jnp.float32) - p0
+        return TriSoA(p0, e1, e2, jnp.concatenate([p0, e1, e2], axis=-1))
 
     @property
     def num(self) -> int:
         return self.p0.shape[0]
+
+    def gather_rows(self, idx):
+        """(p0, e1, e2) rows by index via one packed gather."""
+        if self.packed is not None:
+            row = self.packed[idx]
+            return row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        return self.p0[idx], self.e1[idx], self.e2[idx]
 
 
 class Hit(NamedTuple):
@@ -127,38 +142,51 @@ def intersect_bruteforce(
     tri_chunks = jax.tree.map(
         lambda x: x.reshape(num_chunks, chunk, 3), tri_pad
     )
+
+    # Single-reduction argmin via IEEE key packing: all candidate t are
+    # >= tmin >= 0, so the int32 bit pattern of t is order-preserving;
+    # truncate the low mantissa bits and pack the lane index there, then
+    # ONE int-min reduction yields both winner-t and winner-lane. (The
+    # two-reduction formulation duplicated the fused Moller-Trumbore
+    # producer into both reduction fusions — measured 2x the pair math.)
+    lane_bits = max((chunk - 1).bit_length(), 1)
+    lane_mask = np.int32((1 << lane_bits) - 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    big = jnp.int32(2 ** 30)
+    miss_key = np.int32(np.float32(RT_MAX).view(np.int32) & ~lane_mask)
 
     def body(carry, tri_c):
-        # Track (t, prim) only, via two lane min-reductions — no argmin /
-        # take_along_axis gathers (they dominated the chunk cost). u,v are
-        # re-derived once at the end from the winning triangle.
-        best_t, best_prim, base = carry
-        t, _, _, ok = _mt_hits(
-            org, direction, TriSoA(*tri_c), tmin, jnp.minimum(tmax, best_t)
+        best_key, best_prim, base = carry
+        cap = jnp.minimum(
+            tmax, (best_key & ~lane_mask).view(jnp.float32)
         )
-        t = jnp.where(ok, t, RT_MAX)
-        t_min = jnp.min(t, axis=1)
-        idx = jnp.min(jnp.where(t <= t_min[:, None], lane, big), axis=1)
-        closer = t_min < best_t
-        best_t = jnp.where(closer, t_min, best_t)
-        best_prim = jnp.where(closer, base + idx, best_prim)
-        return (best_t, best_prim, base + chunk), None
+        t, _, _, ok = _mt_hits(
+            org, direction, TriSoA(*tri_c), tmin, cap
+        )
+        key = jnp.where(
+            ok, (t.view(jnp.int32) & ~lane_mask) | lane, miss_key | lane
+        )
+        key_min = jnp.min(key, axis=1)
+        closer = key_min < best_key
+        best_prim = jnp.where(
+            closer & (key_min < miss_key),
+            base + (key_min & lane_mask),
+            best_prim,
+        )
+        best_key = jnp.minimum(best_key & ~lane_mask, key_min & ~lane_mask)
+        return (best_key, best_prim, base + chunk), None
 
     init = (
-        jnp.full((n,), RT_MAX),
+        jnp.full((n,), miss_key, jnp.int32),
         jnp.full((n,), -1, jnp.int32),
         np.int32(0),
     )
-    (t, prim, _), _ = jax.lax.scan(body, init, tri_chunks)
+    (_, prim, _), _ = jax.lax.scan(body, init, tri_chunks)
 
-    # Recompute barycentrics for the single winning triangle per ray (O(N)).
+    # Re-derive exact t + barycentrics for the single winner per ray (O(N));
+    # the truncated key-t only arbitrates the winner (2^-13 relative ties).
     valid = prim >= 0
     pi = jnp.maximum(prim, 0)
-    p0 = tris.p0[pi]
-    e1 = tris.e1[pi]
-    e2 = tris.e2[pi]
+    p0, e1, e2 = tris.gather_rows(pi)
     pvec = jnp.cross(direction, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
@@ -166,8 +194,10 @@ def intersect_bruteforce(
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = jnp.cross(tvec, e1)
     v = jnp.sum(direction * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
     u = jnp.where(valid, u, 0.0)
     v = jnp.where(valid, v, 0.0)
+    t = jnp.where(valid, t, RT_MAX)
     return Hit(t=t, prim=prim, u=u, v=v)
 
 

@@ -205,7 +205,7 @@ def intersect_planes(
     # barycentrics of the single winner (same epilogue as the XLA path)
     valid = prim >= 0
     pi = jnp.maximum(prim, 0)
-    p0, e1, e2 = tris.p0[pi], tris.e1[pi], tris.e2[pi]
+    p0, e1, e2 = tris.gather_rows(pi)
     pvec = jnp.cross(direction, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
     inv_det = jnp.where(

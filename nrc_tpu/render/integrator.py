@@ -167,12 +167,13 @@ def trace_wavefront(
         from ..ops import mbsdf as MB
 
     def interp_uv(prim, bu, bv):
-        """Material-placed texcoord at a triangle hit."""
+        """Material-placed texcoord at a triangle hit (one packed gather)."""
         wb = 1.0 - bu - bv
+        uvp = scene.tri_uvpack[prim]                     # [N, 6]
         uv = (
-            wb[..., None] * scene.uv0[prim]
-            + bu[..., None] * scene.uv1[prim]
-            + bv[..., None] * scene.uv2[prim]
+            wb[..., None] * uvp[..., 0:2]
+            + bu[..., None] * uvp[..., 2:4]
+            + bv[..., None] * uvp[..., 4:6]
         )
         return apply_uv_transform(uv, scene.mat_uv_xf[scene.tri_material[prim]])
 
@@ -319,15 +320,20 @@ def trace_wavefront(
         tri = jnp.maximum(hit.prim, 0)
         w_bary = 1.0 - hit.u - hit.v
         p_hit = s.pos + hit.t[..., None] * s.wi
-        e1 = scene.tris.e1[tri]
-        e2 = scene.tris.e2[tri]
+        # one packed row gather per table (tri edges, tri normals, tri meta,
+        # material row) — TPU gathers are per-row latency-bound, so this is
+        # ~6x fewer round trips than per-field gathers
+        _, e1, e2 = scene.tris.gather_rows(tri)
         ng = normalize(jnp.cross(e1, e2))
+        tsh = scene.tri_pack[tri]                        # [N, 9]
         ns = normalize(
-            w_bary[..., None] * scene.n0[tri]
-            + hit.u[..., None] * scene.n1[tri]
-            + hit.v[..., None] * scene.n2[tri]
+            w_bary[..., None] * tsh[..., 0:3]
+            + hit.u[..., None] * tsh[..., 3:6]
+            + hit.v[..., None] * tsh[..., 6:9]
         )
-        mid = scene.tri_material[tri]
+        tmeta = scene.tri_meta[tri]                      # [N, 2] i32
+        mid = tmeta[..., 0]
+        tri_light_id = tmeta[..., 1]
         if has_curves:
             cprim = jnp.maximum(c_hit.prim, 0)
             cframe = IC.curve_shading_frame(scene.curves, cprim, p_hit)
@@ -340,7 +346,9 @@ def trace_wavefront(
         # 1 - opacity: the lane keeps its direction/throughput/MIS state and
         # re-traces from the hit point next bounce (the wavefront equivalent
         # of optixIgnoreIntersection in the anyhit program).
-        albedo = scene.mat_albedo[mid]
+        matf = scene.mat_pack[mid]                       # [N, 9]
+        mati = scene.mat_meta[mid]                       # [N, 2] i32
+        albedo = matf[..., 0:3]
         passthrough = jnp.zeros((n,), bool)
         if has_tex or has_cutout:
             uv_hit = interp_uv(tri, hit.u, hit.v)
@@ -360,19 +368,19 @@ def trace_wavefront(
         t_eff = hit.t + s.pass_dist if has_cutout else hit.t
 
         params = B.MaterialParams(
-            archetype=scene.mat_archetype[mid],
+            archetype=mati[..., 0],
             albedo=albedo,
-            roughness=scene.mat_roughness[mid],
-            ior=scene.mat_ior[mid],
-            thin_walled=scene.mat_thin_walled[mid],
+            roughness=matf[..., 3:5],
+            ior=matf[..., 5],
+            thin_walled=mati[..., 1],
         )
         if has_layered:
             params2 = B.MaterialParams(
                 archetype=scene.mat_archetype2[mid],
                 albedo=scene.mat_albedo2[mid],
                 roughness=scene.mat_roughness2[mid],
-                ior=scene.mat_ior[mid],
-                thin_walled=scene.mat_thin_walled[mid],
+                ior=matf[..., 5],
+                thin_walled=mati[..., 1],
             )
             bp = LY.BlendParams(
                 blend_mode=scene.mat_blend_mode[mid],
@@ -482,12 +490,12 @@ def trace_wavefront(
         alive = s.alive & ~miss
 
         # ---- emission of hit surface (mesh lights, hit.cu:738-821) ----
-        em_rad = scene.mat_emission_radiance[mid]
+        em_rad = matf[..., 6:9]
         if has_tex:
             em_rad = em_rad * sample_bilinear(
                 scene.atlas, scene.mat_emission_tex[mid], uv_hit
             )[..., :3]
-        light_idx = scene.tri_light[tri]
+        light_idx = tri_light_id
         area = scene.lights.area[jnp.maximum(light_idx, 0)] if num_lights else jnp.ones_like(hit.t)
         cos_e = dot(ns, wo)
         emissive = hit_valid & front & (jnp.max(em_rad, axis=-1) > 0.0) & (cos_e > 0.0)
@@ -581,7 +589,7 @@ def trace_wavefront(
             # (bsdf_hair.mdl; frame = tangent + per-strand azimuthal basis)
             hpar = H.HairParams(
                 sigma_a=scene.mat_hair_absorption[mid],
-                ior=scene.mat_ior[mid],
+                ior=matf[..., 5],
                 beta_m=scene.mat_hair_roughness[mid][..., 0],
                 beta_n=scene.mat_hair_roughness[mid][..., 1],
                 cuticle_angle=scene.mat_hair_cuticle[mid],

@@ -33,6 +33,15 @@ class DeviceScene(NamedTuple):
     uv0: jnp.ndarray  # [T, 2] texcoords per vertex
     uv1: jnp.ndarray
     uv2: jnp.ndarray
+    # Packed hot-path gather tables: TPU row gathers are latency-bound per
+    # row and nearly free in width, so the integrator fetches each hit's
+    # shading inputs with ONE row gather per table instead of ~12 single-
+    # field gathers (measured ~33 ms/frame of gather time on Cornell).
+    tri_pack: jnp.ndarray   # [T, 9]  = n0 | n1 | n2
+    tri_uvpack: jnp.ndarray  # [T, 6] = uv0 | uv1 | uv2
+    tri_meta: jnp.ndarray   # [T, 2] i32 = material | light
+    mat_pack: jnp.ndarray   # [M, 9]  = albedo | roughness | ior | emission
+    mat_meta: jnp.ndarray   # [M, 2] i32 = archetype | thin_walled
 
     # material table (SoA)
     mat_archetype: jnp.ndarray          # [M] i32
@@ -142,6 +151,31 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
         uv0=jnp.asarray(scene.uv0),
         uv1=jnp.asarray(scene.uv1),
         uv2=jnp.asarray(scene.uv2),
+        tri_pack=jnp.asarray(
+            np.concatenate([scene.n0, scene.n1, scene.n2], axis=-1),
+            jnp.float32,
+        ),
+        tri_uvpack=jnp.asarray(
+            np.concatenate([scene.uv0, scene.uv1, scene.uv2], axis=-1),
+            jnp.float32,
+        ),
+        tri_meta=jnp.asarray(
+            np.stack([scene.material_id, scene.light_id], axis=-1), jnp.int32
+        ),
+        mat_pack=jnp.asarray(
+            np.concatenate(
+                [
+                    np.asarray(mt.albedo, np.float32).reshape(m, 3),
+                    np.asarray(mt.roughness, np.float32).reshape(m, 2),
+                    np.asarray(mt.ior, np.float32).reshape(m, 1),
+                    emission_radiance,
+                ],
+                axis=-1,
+            )
+        ),
+        mat_meta=jnp.asarray(
+            np.stack([mt.archetype, mt.thin_walled], axis=-1), jnp.int32
+        ),
         mat_archetype=jnp.asarray(mt.archetype, jnp.int32),
         mat_albedo=jnp.asarray(mt.albedo),
         mat_roughness=jnp.asarray(mt.roughness),
