@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the current system description (Key S parity)")
     p.add_argument("--stats-log", default=None,
                    help="write per-frame JSONL stats (loss, records, tile size)")
+    p.add_argument("--present", action="store_true",
+                   help="interactive mode: serve a live HTTP viewer with "
+                        "orbit/pan/dolly/zoom (also enabled by 'present 1' "
+                        "in the system file)")
+    p.add_argument("--port", type=int, default=8000,
+                   help="viewer port for --present (0 = ephemeral)")
     return p
 
 
@@ -105,7 +111,10 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     with profile_ctx:
-        _render_loop(args, driver, r, spp, stats_f, t0)
+        if args.mode == 0 and (args.present or system.present):
+            _present_loop(args, driver, r, spp, t0)
+        else:
+            _render_loop(args, driver, r, spp, stats_f, t0)
     jax.block_until_ready(r.image)
     dt = time.perf_counter() - t0
     print(f"{spp} spp in {dt:.2f}s -> {spp / dt:.2f} fps")
@@ -134,6 +143,56 @@ def main(argv=None) -> int:
         save_checkpoint(args.checkpoint, r.net_state)
         print(f"saved network to {args.checkpoint}")
     return 0
+
+
+def _present_loop(args, driver, r, spp, t0):
+    """Interactive presentation (reference interactive mode,
+    ``Application::render`` + ``guiEventHandler``): renders continuously,
+    publishes a tonemapped frame ~1 Hz to the HTTP viewer, applies queued
+    camera verbs between frames (restarting accumulation), and keeps
+    serving after ``spp`` is reached until interrupted."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from ..utils.tonemap import tonemap_to_u8
+    from .viewer import Viewer
+
+    viewer = Viewer(port=args.port)
+    print(f"presenting at {viewer.url} (ctrl-c to stop)")
+    last_pub = 0.0
+    i = 0
+    try:
+        while True:
+            if viewer.apply_events(r.scene.camera):
+                r.restart_accumulation()
+            if r.iteration < spp:
+                stats = driver.render_frame()
+                i += 1
+            else:
+                time.sleep(0.05)
+            now = time.perf_counter()
+            if now - last_pub >= 1.0:  # ~1 Hz presentation (App.cpp:457-491)
+                import jax.numpy as jnp
+
+                ldr = np.asarray(
+                    tonemap_to_u8(jnp.asarray(r.image_hdr()),
+                                  r.system.tonemapper)
+                )
+                buf = io.BytesIO()
+                Image.fromarray(ldr).save(buf, format="PNG")
+                loss = (
+                    r.loss_history[-1] if r.loss_history else 0.0
+                )
+                viewer.publish(
+                    buf.getvalue(), r.iteration, i / max(now - t0, 1e-9), loss
+                )
+                last_pub = now
+    except KeyboardInterrupt:
+        pass
+    finally:
+        viewer.close()
 
 
 def _render_loop(args, driver, r, spp, stats_f, t0):

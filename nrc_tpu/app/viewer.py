@@ -1,0 +1,154 @@
+"""Interactive presentation: a zero-dependency HTTP live viewer.
+
+The reference presents through OpenGL (``Rasterizer::display`` fullscreen
+quad, ~1 Hz re-upload in ``Application::render``, ``Application.cpp:457-491``)
+with GLFW mouse handlers for orbit / pan / dolly / zoom
+(``Application::guiEventHandler``, ``Application.cpp:572-648``). A TPU host
+is headless, so the display path here is an embedded HTTP server (stdlib
+``http.server``, no extra dependencies): the render loop publishes a
+tonemapped PNG about once a second, and a small HTML page shows it and
+translates mouse drags / wheel into the same camera verbs, which the loop
+applies between frames (camera change restarts progressive accumulation,
+``Application::restartRendering``).
+
+Enabled by ``present 1`` in the system description or ``--present`` on the
+CLI (interactive mode).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+_PAGE = """<!doctype html>
+<html><head><title>nrc-tpu</title><style>
+body { margin: 0; background: #111; color: #ccc; font: 13px monospace; }
+#wrap { display: flex; flex-direction: column; align-items: center; }
+img { image-rendering: pixelated; margin-top: 8px; cursor: grab; }
+#bar { padding: 6px; }
+</style></head><body><div id="wrap">
+<div id="bar">drag: orbit &middot; shift-drag: pan &middot; wheel: dolly
+&middot; ctrl-wheel: zoom &middot; <span id="stats"></span></div>
+<img id="frame" src="/frame.png" draggable="false">
+</div><script>
+const img = document.getElementById('frame');
+const stats = document.getElementById('stats');
+let drag = null;
+img.addEventListener('mousedown', e => { drag = [e.clientX, e.clientY, e.shiftKey]; });
+window.addEventListener('mouseup', () => { drag = null; });
+window.addEventListener('mousemove', e => {
+  if (!drag) return;
+  const [x0, y0, pan] = drag;
+  const dx = (e.clientX - x0) / img.width, dy = (e.clientY - y0) / img.height;
+  drag = [e.clientX, e.clientY, pan];
+  fetch(`/control?op=${pan ? 'pan' : 'orbit'}&dx=${dx}&dy=${dy}`);
+});
+img.addEventListener('wheel', e => {
+  e.preventDefault();
+  const op = e.ctrlKey ? 'zoom' : 'dolly';
+  fetch(`/control?op=${op}&d=${e.deltaY > 0 ? -1 : 1}`);
+}, { passive: false });
+setInterval(() => {
+  img.src = '/frame.png?t=' + Date.now();
+  fetch('/stats').then(r => r.json()).then(s => {
+    stats.textContent =
+      `spp ${s.iteration} | ${s.fps.toFixed(2)} fps | loss ${s.loss.toFixed(4)}`;
+  });
+}, 1000);
+</script></body></html>"""
+
+
+class Viewer:
+    """Publishes frames; queues camera events for the render loop."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8000):
+        self._png = b""
+        self._stats = {"iteration": 0, "fps": 0.0, "loss": 0.0}
+        self._lock = threading.Lock()
+        self.events: "queue.Queue[tuple]" = queue.Queue()
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path == "/":
+                    body = _PAGE.encode()
+                    ctype = "text/html"
+                elif url.path == "/frame.png":
+                    with viewer._lock:
+                        body = viewer._png
+                    ctype = "image/png"
+                elif url.path == "/stats":
+                    with viewer._lock:
+                        body = json.dumps(viewer._stats).encode()
+                    ctype = "application/json"
+                elif url.path == "/control":
+                    q = parse_qs(url.query)
+                    op = q.get("op", [""])[0]
+                    args = tuple(
+                        float(q.get(k, ["0"])[0]) for k in ("dx", "dy", "d")
+                    )
+                    if op in ("orbit", "pan", "dolly", "zoom"):
+                        viewer.events.put((op, args))
+                    body, ctype = b"ok", "text/plain"
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    @property
+    def url(self) -> str:
+        return f"http://{self._server.server_address[0]}:{self.port}/"
+
+    def publish(self, png_bytes: bytes, iteration: int, fps: float,
+                loss: float) -> None:
+        with self._lock:
+            self._png = png_bytes
+            self._stats = {
+                "iteration": int(iteration),
+                "fps": float(fps),
+                "loss": float(loss),
+            }
+
+    def apply_events(self, camera) -> bool:
+        """Drain queued camera verbs onto ``camera``; True if any applied
+        (caller restarts accumulation, ``Application::restartRendering``)."""
+        moved = False
+        while True:
+            try:
+                op, (dx, dy, d) = self.events.get_nowait()
+            except queue.Empty:
+                break
+            if op == "orbit":
+                camera.orbit(dx, dy)
+            elif op == "pan":
+                camera.pan(dx, dy)
+            elif op == "dolly":
+                camera.dolly(d * camera.distance * 0.1)
+            elif op == "zoom":
+                camera.zoom(-d * 2.0)
+            moved = True
+        return moved
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
