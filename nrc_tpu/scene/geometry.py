@@ -178,3 +178,32 @@ def concat_meshes(meshes: list[Mesh]) -> Mesh:
         np.concatenate([m.texcoords for m in meshes], axis=0),
         np.concatenate(idx, axis=0).astype(np.uint32),
     )
+
+
+def generate_normals(pos: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Smooth area-weighted vertex normals from face geometry."""
+    acc = np.zeros_like(pos)
+    if indices.size:
+        fn = np.cross(
+            pos[indices[:, 1]] - pos[indices[:, 0]],
+            pos[indices[:, 2]] - pos[indices[:, 0]],
+        )
+        for c in range(3):
+            np.add.at(acc, indices[:, c], fn)
+    ln = np.linalg.norm(acc, axis=-1, keepdims=True)
+    out = acc / np.maximum(ln, 1e-20)
+    out[ln[:, 0] < 1e-20] = (0.0, 0.0, 1.0)
+    return out.astype(np.float32)
+
+
+def generate_tangents(pos: np.ndarray, nrm: np.ndarray, uv: np.ndarray,
+                      indices: np.ndarray) -> np.ndarray:
+    """Per-vertex tangents orthogonal to the normal (frame for anisotropy;
+    the reference computes these in ``Application::calculateTangents``)."""
+    t = np.zeros_like(nrm)
+    t[:, 0] = 1.0
+    dots = np.abs(np.sum(t * nrm, axis=-1))
+    t[dots > 0.9] = (0.0, 1.0, 0.0)
+    t = t - nrm * np.sum(t * nrm, axis=-1, keepdims=True)
+    t /= np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-20)
+    return t.astype(np.float32)

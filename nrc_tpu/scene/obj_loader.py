@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .geometry import Mesh
+from .geometry import Mesh, generate_normals, generate_tangents
 
 
 def load_obj(path: str) -> Mesh:
@@ -70,23 +70,7 @@ def load_obj(path: str) -> Mesh:
     # Generate smooth normals where missing (area-weighted)
     missing = np.linalg.norm(nrm, axis=-1) < 1e-6
     if np.any(missing) and indices.size:
-        fn = np.cross(
-            pos[indices[:, 1]] - pos[indices[:, 0]],
-            pos[indices[:, 2]] - pos[indices[:, 0]],
-        )
-        acc = np.zeros_like(pos)
-        for c in range(3):
-            np.add.at(acc, indices[:, c], fn)
-        ln = np.linalg.norm(acc, axis=-1, keepdims=True)
-        smooth = acc / np.maximum(ln, 1e-20)
-        nrm[missing] = smooth[missing]
+        nrm[missing] = generate_normals(pos, indices)[missing]
 
-    # Tangents: any orthogonal frame (proper UV tangents later)
-    t = np.zeros_like(nrm)
-    t[:, 0] = 1.0
-    dots = np.abs(np.sum(t * nrm, axis=-1))
-    t[dots > 0.9] = (0.0, 1.0, 0.0)
-    t = t - nrm * np.sum(t * nrm, axis=-1, keepdims=True)
-    t /= np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-20)
-
+    t = generate_tangents(pos, nrm, tex, indices)
     return Mesh(pos, nrm, t, tex, indices)

@@ -95,6 +95,11 @@ def _make_mesh(decl) -> geo.Mesh:
         tu, tv, inner, outer = decl.args
         return geo.create_torus(tu, tv, inner, outer)
     if decl.kind == "assimp":
+        # mesh import by extension (Assimp stand-in, Assimp.cpp:54-239)
+        if decl.path.lower().endswith(".ply"):
+            from .ply_loader import load_ply
+
+            return load_ply(decl.path)
         from .obj_loader import load_obj  # lazy: optional subsystem
 
         return load_obj(decl.path)
