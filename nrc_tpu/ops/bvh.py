@@ -66,6 +66,141 @@ def build_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray, max_leaf: int = 4)
     return _build_median_split(p0, p1, p2, max_leaf)
 
 
+def flatten_skip_links(
+    bvh: Dict[str, np.ndarray],
+    p0: np.ndarray,
+    p1: np.ndarray,
+    p2: np.ndarray,
+    leaf_size: int = 4,
+) -> Dict[str, np.ndarray]:
+    """Re-flatten a (left/right/start/count) BVH into the stackless
+    skip-link layout the TPU traversal consumes.
+
+    Pre-order node numbering makes the "hit" successor of an inner node
+    simply ``node + 1``; each node additionally stores the pre-order
+    ``miss`` successor (where to resume when its AABB test fails or a leaf
+    finishes). Traversal is then a single lockstep pointer walk — no
+    per-ray stack arrays (whose [N, depth] scatter updates dominated the
+    old vmapped-stack traversal on TPU).
+
+    The lockstep walk is gather-latency/bandwidth-bound (serialized row
+    fetches per step), so the layout keeps node rows minimal and fetches
+    the leaf triangle block in one second row gather (measured faster than
+    inlining the block into every node row, which wastes its bytes on
+    inner-node visits):
+
+    - ``node_box`` [n+1, 8]: lo | hi | bitcast(miss) | bitcast(leaf_row)
+      (row n = sentinel: inverted AABB, self-missing; leaf_row -1 = inner)
+    - ``leaf_pack`` [L, leaf_size*10]: leaf_size x (p0|e1|e2) triangle rows
+      followed by leaf_size bitcast prim ids (-1 padding)
+    - ``leaf_ids`` [L, leaf_size] i32 (host-side reference)
+
+    Leaves smaller than ``leaf_size`` are padded with degenerate (zero)
+    triangles and prim id -1. The binary SAH leaves (max 4) are merged
+    post-hoc: a subtree whose total primitive count fits ``leaf_size``
+    collapses into one leaf, shortening the walk.
+    """
+    left, right = bvh["left"], bvh["right"]
+    start, count, order = bvh["start"], bvh["count"], bvh["order"]
+    lo, hi = bvh["lo"], bvh["hi"]
+    n_old = lo.shape[0]
+    max_built = int(count.max(initial=0))
+    assert leaf_size >= max_built, (
+        f"leaf_size {leaf_size} < builder leaf capacity {max_built}"
+    )
+
+    e1 = (p1 - p0).astype(np.float32)
+    e2 = (p2 - p0).astype(np.float32)
+    tri_rows = np.concatenate([p0.astype(np.float32), e1, e2], axis=-1)
+
+    # post-order: primitive count + collapsed node count per subtree
+    prims = np.zeros(n_old, np.int64)
+    nsize = np.zeros(n_old, np.int64)
+    st = [(0, False)]
+    while st:
+        v, done = st.pop()
+        if done:
+            prims[v] = prims[left[v]] + prims[right[v]]
+            nsize[v] = (
+                1 if prims[v] <= leaf_size
+                else 1 + nsize[left[v]] + nsize[right[v]]
+            )
+        elif left[v] < 0:
+            prims[v] = count[v]
+            nsize[v] = 1
+        else:
+            st.append((v, True))
+            st.append((left[v], False))
+            st.append((right[v], False))
+
+    def collect_prims(node):
+        out, st2 = [], [node]
+        while st2:
+            v = st2.pop()
+            if left[v] < 0:
+                out.extend(order[start[v]: start[v] + count[v]].tolist())
+            else:
+                st2.append(right[v])
+                st2.append(left[v])
+        return out
+
+    n = int(nsize[0])
+    node_box = np.zeros((n + 1, 8), np.float32)
+    leaf_rows = []
+    leaf_id_rows = []
+
+    idx = 0
+    stack = [(0, n)]  # (old node, miss target in NEW numbering)
+    while stack:
+        node, miss_t = stack.pop()
+        new = idx
+        idx += 1
+        node_box[new, 0:3] = lo[node]
+        node_box[new, 3:6] = hi[node]
+        node_box[new, 6] = np.int32(miss_t).view(np.float32)
+        if prims[node] <= leaf_size:  # (collapsed) leaf
+            prim = collect_prims(node)
+            node_box[new, 7] = np.int32(len(leaf_id_rows)).view(np.float32)
+            rows = np.zeros((leaf_size, 9), np.float32)
+            ids = np.full(leaf_size, -1, np.int32)
+            rows[: len(prim)] = tri_rows[prim]
+            ids[: len(prim)] = prim
+            leaf_rows.append(
+                np.concatenate([rows.reshape(-1), ids.view(np.float32)])
+            )
+            leaf_id_rows.append(ids)
+        else:
+            node_box[new, 7] = np.int32(-1).view(np.float32)
+            l, r = int(left[node]), int(right[node])
+            # pre-order: left = new+1; right starts after left's subtree
+            right_new = new + 1 + int(nsize[l])
+            stack.append((r, miss_t))
+            stack.append((l, right_new))
+    assert idx == n, (idx, n)
+
+    # sentinel row: inverted AABB (never hit), self-missing
+    node_box[n, 0:3] = np.float32(3.0e38)
+    node_box[n, 3:6] = np.float32(-3.0e38)
+    node_box[n, 6] = np.int32(n).view(np.float32)
+    node_box[n, 7] = np.int32(-1).view(np.float32)
+
+    leaf_pack = (
+        np.stack(leaf_rows)
+        if leaf_rows
+        else np.zeros((1, leaf_size * 10), np.float32)
+    )
+    leaf_ids = (
+        np.stack(leaf_id_rows)
+        if leaf_id_rows
+        else np.full((1, leaf_size), -1, np.int32)
+    )
+    return {
+        "node_box": node_box,
+        "leaf_pack": leaf_pack,
+        "leaf_ids": leaf_ids,
+    }
+
+
 def _build_median_split(p0, p1, p2, max_leaf: int) -> Dict[str, np.ndarray]:
     """NumPy fallback: median split on the widest centroid axis."""
     num = p0.shape[0]

@@ -9,9 +9,9 @@ intersection is an explicit data-parallel computation over the ray wavefront:
   Dense, branch-free, VPU/MXU-friendly — for small-to-medium scenes this is
   *faster* than divergent traversal on TPU and is the default below
   ``BVH_THRESHOLD`` triangles.
-- ``intersect_bvh`` / ``occluded_bvh``: stack-based BVH traversal
-  (``lax.while_loop`` under ``vmap``) over the flattened binned-SAH BVH from
-  ``ops/bvh.py`` for large scenes.
+- ``intersect_bvh`` / ``occluded_bvh``: stackless skip-link BVH traversal
+  (lockstep ``lax.while_loop`` over the whole wavefront) over the
+  pre-order-flattened binned-SAH BVH from ``ops/bvh.py`` for large scenes.
 
 Closest-hit returns (t, prim, u, v); any-hit (shadow rays,
 ``__anyhit__shadow`` equivalent, ``hit.cu:1428-1468``) returns a bool mask.
@@ -236,125 +236,113 @@ def occluded_bruteforce(
 
 
 # ---------------------------------------------------------------------------
-# BVH traversal
+# BVH traversal — stackless skip links, lockstep over the wavefront
 # ---------------------------------------------------------------------------
-
-MAX_STACK = 48
-
-
-def _ray_aabb(o, inv_d, lo, hi, tmin, tmax):
-    """Slab test; returns whether the AABB [lo, hi] intersects [tmin, tmax]."""
-    t0 = (lo - o) * inv_d
-    t1 = (hi - o) * inv_d
-    tn = jnp.minimum(t0, t1)
-    tf = jnp.maximum(t0, t1)
-    near = jnp.maximum(jnp.max(tn), tmin)
-    far = jnp.minimum(jnp.min(tf), tmax)
-    return near <= far, near
+#
+# The flattened layout (``ops/bvh.py::flatten_skip_links``) numbers nodes in
+# pre-order: an inner node's "hit" successor is node+1 and every node stores
+# its pre-order "miss" successor, so the whole wavefront advances one node
+# pointer per step with two row gathers and dense vector math — no per-ray
+# stack (whose [N, depth] scatter updates made the old vmapped-stack
+# traversal ~100x slower than brute force on TPU). Leaves hold exactly
+# ``leaf_size`` packed triangles (degenerate-padded), unrolled statically.
 
 
-def _traverse_one(o, d, tmin, tmax, bvh, tris: TriSoA, any_hit: bool):
-    """Single-ray stack traversal (vmapped). ``bvh``: dict of flat arrays."""
-    inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, np.float32(1e20) * jnp.sign(d) + 1e20)
-
-    lo, hi = bvh["lo"], bvh["hi"]
-    left, right = bvh["left"], bvh["right"]
-    start, count = bvh["start"], bvh["count"]
-    order = bvh["order"]
-
-    # NOTE: flat masked leaf+inner body — no ``lax.cond``. Under vmap a cond
-    # lowers to select-of-both-branches, and on XLA:TPU a batched
-    # dynamic-trip fori_loop nested inside that select materializes a
-    # [rays, nodes, 3] temporary that overflows the int32 allocation bound
-    # (observed with the 200k-node hair BVH; same structure here).
-    def cond(state):
-        sp, _, best_t, best_prim, *_ = state
-        not_done = sp > 0
-        if any_hit:
-            not_done = not_done & (best_prim < 0)
-        return not_done
-
-    def step(state):
-        sp, stack, best_t, best_prim, best_u, best_v = state
-        sp = sp - 1
-        node = stack[sp]
-        is_leaf = count[node] > 0
-
-        # --- leaf primitives, masked (count 0 for inner nodes) ---
-        s = start[node]
-        c = jnp.where(is_leaf, count[node], 0)
-
-        def tri_body(i, best):
-            best_t, best_prim, best_u, best_v = best
-            p = order[s + i]
-            p0 = tris.p0[p]
-            e1 = tris.e1[p]
-            e2 = tris.e2[p]
-            pvec = jnp.cross(d, e2)
-            det = jnp.dot(e1, pvec)
-            ok = jnp.abs(det) > 1e-12
-            inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-            tvec = o - p0
-            u = jnp.dot(tvec, pvec) * inv_det
-            qvec = jnp.cross(tvec, e1)
-            v = jnp.dot(d, qvec) * inv_det
-            t = jnp.dot(e2, qvec) * inv_det
-            ok = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-            ok = ok & (t > tmin) & (t < jnp.minimum(best_t, tmax))
-            return (
-                jnp.where(ok, t, best_t),
-                jnp.where(ok, p, best_prim),
-                jnp.where(ok, u, best_u),
-                jnp.where(ok, v, best_v),
-            )
-
-        best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
-            0, c, tri_body, (best_t, best_prim, best_u, best_v)
-        )
-
-        # --- inner children, masked; push far child first ---
-        l = jnp.where(is_leaf, node, left[node])
-        r = jnp.where(is_leaf, node, right[node])
-        cap = jnp.minimum(best_t, tmax)
-        hit_l, near_l = _ray_aabb(o, inv_d, lo[l], hi[l], tmin, cap)
-        hit_r, near_r = _ray_aabb(o, inv_d, lo[r], hi[r], tmin, cap)
-        near_first = near_l <= near_r
-        first = jnp.where(near_first, l, r)
-        second = jnp.where(near_first, r, l)
-        hit_first = jnp.where(near_first, hit_l, hit_r) & ~is_leaf
-        hit_second = jnp.where(near_first, hit_r, hit_l) & ~is_leaf
-        stack = stack.at[sp].set(second)
-        sp = sp + hit_second.astype(jnp.int32)
-        stack = stack.at[sp].set(first)
-        sp = sp + hit_first.astype(jnp.int32)
-        return sp, stack, best_t, best_prim, best_u, best_v
-
-    stack0 = jnp.zeros((MAX_STACK,), jnp.int32)
-    # seed with root iff the root AABB is hit
-    root_hit, _ = _ray_aabb(o, inv_d, lo[0], hi[0], tmin, tmax)
-    state = (
-        root_hit.astype(jnp.int32),
-        stack0,
-        RT_MAX,
-        np.int32(-1),
-        np.float32(0.0),
-        np.float32(0.0),
+def _skip_traverse(org, direction, bvh, tmin, tmax, any_hit: bool):
+    n = org.shape[0]
+    sentinel = bvh["node_box"].shape[0] - 1
+    leaf_size = bvh["leaf_pack"].shape[1] // 10  # static, from the row width
+    inv_d = jnp.where(
+        jnp.abs(direction) > 1e-20,
+        1.0 / jnp.where(direction != 0.0, direction, 1.0),
+        np.float32(3.0e38),
     )
-    _, _, t, prim, u, v = jax.lax.while_loop(cond, step, state)
-    return t, prim, u, v
+
+    def cond(s):
+        node, _, _ = s
+        return jnp.any(node != sentinel)
+
+    def step(s):
+        node, best_t, best_prim = s
+        row = bvh["node_box"][node]                     # [N, 8]
+        lo, hi = row[:, 0:3], row[:, 3:6]
+        miss = row[:, 6].view(jnp.int32)
+        lrow = row[:, 7].view(jnp.int32)
+        is_leaf = lrow >= 0
+        t0 = (lo - org) * inv_d
+        t1 = (hi - org) * inv_d
+        near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        cap = jnp.minimum(tmax, best_t)
+        hit_box = jnp.maximum(near, tmin) <= jnp.minimum(far, cap)
+
+        do_leaf = hit_box & is_leaf
+        tri = bvh["leaf_pack"][jnp.maximum(lrow, 0)]    # [N, K*10]
+        for k in range(leaf_size):
+            p0 = tri[:, 9 * k: 9 * k + 3]
+            e1 = tri[:, 9 * k + 3: 9 * k + 6]
+            e2 = tri[:, 9 * k + 6: 9 * k + 9]
+            pid = tri[:, 9 * leaf_size + k].view(jnp.int32)
+            pvec = jnp.cross(direction, e2)
+            det = jnp.sum(e1 * pvec, axis=-1)
+            ok = jnp.abs(det) > 1e-12
+            invd = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            tvec = org - p0
+            u = jnp.sum(tvec * pvec, axis=-1) * invd
+            qvec = jnp.cross(tvec, e1)
+            v = jnp.sum(direction * qvec, axis=-1) * invd
+            t = jnp.sum(e2 * qvec, axis=-1) * invd
+            ok = (
+                do_leaf & ok & (pid >= 0)
+                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > tmin) & (t < jnp.minimum(tmax, best_t))
+            )
+            best_t = jnp.where(ok, t, best_t)
+            best_prim = jnp.where(ok, pid, best_prim)
+
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, miss)
+        if any_hit:
+            nxt = jnp.where(best_prim >= 0, sentinel, nxt)
+        nxt = jnp.where(node == sentinel, sentinel, nxt)
+        return nxt, best_t, best_prim
+
+    node0 = jnp.zeros((n,), jnp.int32)
+    # lanes with an empty t-range (inactive rays) start done
+    node0 = jnp.where(tmax <= tmin, sentinel, node0)
+    _, t, prim = jax.lax.while_loop(
+        cond, step, (node0, jnp.full((n,), RT_MAX), jnp.full((n,), -1, jnp.int32))
+    )
+    return t, prim
 
 
 def intersect_bvh(org, direction, bvh, tris: TriSoA, tmin, tmax) -> Hit:
-    t, prim, u, v = jax.vmap(
-        lambda o, d, a, b: _traverse_one(o, d, a, b, bvh, tris, any_hit=False)
-    )(org, direction, tmin, tmax)
-    return Hit(t=t, prim=prim, u=u, v=v)
+    """Closest hit over the skip-link BVH; barycentrics re-derived for the
+    single winner per ray (same epilogue as the brute-force path)."""
+    t, prim = _skip_traverse(org, direction, bvh, tmin, tmax, any_hit=False)
+    valid = prim >= 0
+    pi = jnp.maximum(prim, 0)
+    p0, e1, e2 = tris.gather_rows(pi)
+    pvec = jnp.cross(direction, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(
+        jnp.abs(det) > 1e-12, 1.0 / jnp.where(det != 0, det, 1.0), 0.0
+    )
+    tvec = org - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(direction * qvec, axis=-1) * inv_det
+    return Hit(
+        t=jnp.where(valid, t, RT_MAX),
+        prim=prim,
+        u=jnp.where(valid, u, 0.0),
+        v=jnp.where(valid, v, 0.0),
+    )
 
 
 def occluded_bvh(org, direction, bvh, tris: TriSoA, tmin, tmax) -> jnp.ndarray:
-    _, prim, _, _ = jax.vmap(
-        lambda o, d, a, b: _traverse_one(o, d, a, b, bvh, tris, any_hit=True)
-    )(org, direction, tmin, tmax)
+    """Any-hit visibility over the skip-link BVH (lanes park at the
+    sentinel as soon as they find any hit)."""
+    _, prim = _skip_traverse(org, direction, bvh, tmin, tmax, any_hit=True)
     return prim >= 0
 
 

@@ -125,12 +125,13 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
     if use_bvh is None:
         use_bvh = scene.num_triangles > 16384
     if use_bvh and scene.num_triangles > 0:
-        from ..ops.bvh import build_bvh
+        from ..ops.bvh import build_bvh, flatten_skip_links
 
-        bvh = {
-            k: jnp.asarray(v)
-            for k, v in build_bvh(scene.p0, scene.p1, scene.p2).items()
-        }
+        flat = flatten_skip_links(
+            build_bvh(scene.p0, scene.p1, scene.p2),
+            scene.p0, scene.p1, scene.p2,
+        )
+        bvh = {k: jnp.asarray(v) for k, v in flat.items()}
 
     curves = curve_bvh = None
     if scene.curves is not None and scene.curves.num > 0:

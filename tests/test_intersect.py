@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from nrc_tpu.ops.bvh import build_bvh
+from nrc_tpu.ops.bvh import build_bvh, flatten_skip_links
 from nrc_tpu.ops.intersect import (
     RT_MAX,
     TriSoA,
@@ -94,7 +94,7 @@ class TestBVH:
     def test_matches_bruteforce(self):
         p0, p1, p2 = random_tris(300, seed=1)
         tris = TriSoA.build(p0, p1, p2)
-        bvh_np = build_bvh(p0, p1, p2)
+        bvh_np = flatten_skip_links(build_bvh(p0, p1, p2), p0, p1, p2)
         bvh = {k: jnp.asarray(v) for k, v in bvh_np.items()}
 
         rs = np.random.RandomState(7)
@@ -120,7 +120,12 @@ class TestBVH:
     def test_occlusion_matches(self):
         p0, p1, p2 = random_tris(200, seed=2)
         tris = TriSoA.build(p0, p1, p2)
-        bvh = {k: jnp.asarray(v) for k, v in build_bvh(p0, p1, p2).items()}
+        bvh = {
+            k: jnp.asarray(v)
+            for k, v in flatten_skip_links(
+                build_bvh(p0, p1, p2), p0, p1, p2
+            ).items()
+        }
         rs = np.random.RandomState(5)
         n = 128
         org = jnp.asarray(rs.randn(n, 3) * 2, jnp.float32)
