@@ -100,18 +100,28 @@ def flatten_skip_links(
     post-hoc: a subtree whose total primitive count fits ``leaf_size``
     collapses into one leaf, shortening the walk.
     """
+    e1 = (p1 - p0).astype(np.float32)
+    e2 = (p2 - p0).astype(np.float32)
+    tri_rows = np.concatenate([p0.astype(np.float32), e1, e2], axis=-1)
+    return flatten_skip_links_rows(bvh, tri_rows, leaf_size)
+
+
+def flatten_skip_links_rows(
+    bvh: Dict[str, np.ndarray],
+    prim_rows: np.ndarray,      # [K, R] per-primitive payload rows
+    leaf_size: int = 4,
+) -> Dict[str, np.ndarray]:
+    """Primitive-generic skip-link flattening (triangles, curve segments):
+    leaf rows pack ``leaf_size`` payload rows + bitcast prim ids."""
     left, right = bvh["left"], bvh["right"]
     start, count, order = bvh["start"], bvh["count"], bvh["order"]
     lo, hi = bvh["lo"], bvh["hi"]
     n_old = lo.shape[0]
+    row_w = prim_rows.shape[1]
     max_built = int(count.max(initial=0))
     assert leaf_size >= max_built, (
         f"leaf_size {leaf_size} < builder leaf capacity {max_built}"
     )
-
-    e1 = (p1 - p0).astype(np.float32)
-    e2 = (p2 - p0).astype(np.float32)
-    tri_rows = np.concatenate([p0.astype(np.float32), e1, e2], axis=-1)
 
     # post-order: primitive count + collapsed node count per subtree
     prims = np.zeros(n_old, np.int64)
@@ -161,9 +171,9 @@ def flatten_skip_links(
         if prims[node] <= leaf_size:  # (collapsed) leaf
             prim = collect_prims(node)
             node_box[new, 7] = np.int32(len(leaf_id_rows)).view(np.float32)
-            rows = np.zeros((leaf_size, 9), np.float32)
+            rows = np.zeros((leaf_size, row_w), np.float32)
             ids = np.full(leaf_size, -1, np.int32)
-            rows[: len(prim)] = tri_rows[prim]
+            rows[: len(prim)] = prim_rows[prim]
             ids[: len(prim)] = prim
             leaf_rows.append(
                 np.concatenate([rows.reshape(-1), ids.view(np.float32)])
@@ -187,7 +197,7 @@ def flatten_skip_links(
     leaf_pack = (
         np.stack(leaf_rows)
         if leaf_rows
-        else np.zeros((1, leaf_size * 10), np.float32)
+        else np.zeros((1, leaf_size * (row_w + 1)), np.float32)
     )
     leaf_ids = (
         np.stack(leaf_id_rows)

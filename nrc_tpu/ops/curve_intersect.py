@@ -24,7 +24,6 @@ import numpy as np
 
 DENOM = 1e-20
 RT_MAX = np.float32(3.0e38)
-MAX_STACK = 48
 
 
 class CurveHit(NamedTuple):
@@ -48,18 +47,18 @@ def _roundcone_t(o, d, pa, ba, ra, rb, m0, tmin, tmax):
     """Scalar round-cone intersection: smallest valid t, or RT_MAX.
 
     Lateral cone surface via the quadratic in (k2, k1, k0); sphere caps at
-    both endpoints. ``d`` must be normalized. All inputs scalar/vec3; used
-    inside per-ray leaf loops (vmapped over rays).
+    both endpoints. ``d`` must be normalized. Shape-polymorphic: scalar/vec3
+    or [N]/[N, 3] batches (the lockstep traversal's leaf tests).
     """
     oa = o - pa
     ob = oa - ba
     rr = ra - rb
-    m1 = jnp.dot(ba, oa)
-    m2 = jnp.dot(ba, d)
-    m3 = jnp.dot(d, oa)
-    m5 = jnp.dot(oa, oa)
-    m6 = jnp.dot(ob, d)
-    m7 = jnp.dot(ob, ob)
+    m1 = jnp.sum(ba * oa, axis=-1)
+    m2 = jnp.sum(ba * d, axis=-1)
+    m3 = jnp.sum(d * oa, axis=-1)
+    m5 = jnp.sum(oa * oa, axis=-1)
+    m6 = jnp.sum(ob * d, axis=-1)
+    m7 = jnp.sum(ob * ob, axis=-1)
 
     d2 = m0 - rr * rr
     k2 = d2 - m2 * m2
@@ -130,102 +129,95 @@ class CurveSoA(NamedTuple):
 
 
 def build_curve_bvh(seg, max_leaf: int = 4):
-    """Binned-SAH BVH over segment AABBs via the native builder."""
-    from .bvh import build_bvh
+    """Skip-link BVH over segment AABBs: binned-SAH build via the native
+    builder, then the same pre-order miss-link flattening as triangles,
+    with 9-float payload rows pa | ba | (ra, rb, m0) per segment."""
+    from .bvh import build_bvh, flatten_skip_links_rows
 
     lo, hi, lo2 = segment_aabb_corners(seg.pa, seg.pb, seg.ra, seg.rb)
-    return build_bvh(lo, hi, lo2, max_leaf=max_leaf)
-
-
-def _ray_aabb(o, inv_d, lo, hi, tmin, tmax):
-    t0 = (lo - o) * inv_d
-    t1 = (hi - o) * inv_d
-    tn = jnp.minimum(t0, t1)
-    tf = jnp.maximum(t0, t1)
-    near = jnp.maximum(jnp.max(tn), tmin)
-    far = jnp.minimum(jnp.min(tf), tmax)
-    return near <= far, near
-
-
-def _traverse_one(o, d, tmin, tmax, bvh, curves: CurveSoA, any_hit: bool):
-    inv_d = jnp.where(
-        jnp.abs(d) > 1e-20, 1.0 / d, np.float32(1e20) * jnp.sign(d) + 1e20
+    b = build_bvh(lo, hi, lo2, max_leaf=max_leaf)
+    ba = (seg.pb - seg.pa).astype(np.float32)
+    rows = np.concatenate(
+        [
+            seg.pa.astype(np.float32),
+            ba,
+            seg.ra.astype(np.float32)[:, None],
+            seg.rb.astype(np.float32)[:, None],
+            np.sum(ba * ba, axis=-1, dtype=np.float32)[:, None],
+        ],
+        axis=-1,
     )
-    lo, hi = bvh["lo"], bvh["hi"]
-    left, right = bvh["left"], bvh["right"]
-    start, count = bvh["start"], bvh["count"]
-    order = bvh["order"]
+    return flatten_skip_links_rows(b, rows, leaf_size=max_leaf)
 
-    # NOTE: no ``lax.cond`` between leaf/inner work. Under vmap a cond
-    # lowers to select-of-both-branches, and on XLA:TPU a batched
-    # dynamic-trip fori_loop nested inside that select materializes a
-    # [rays, nodes, 3] temporary that overflows the int32 allocation bound
-    # (observed with 200k+ nodes). The flat masked form compiles cleanly;
-    # per-lane divergence cost is identical (both sides ran anyway).
-    def step(state):
-        sp, stack, best_t, best_prim = state
-        sp = sp - 1
-        node = stack[sp]
-        is_leaf = count[node] > 0
 
-        # --- leaf: scan the (<= max_leaf) primitive range, masked ---
-        s = start[node]
-        c = jnp.where(is_leaf, count[node], 0)
+def _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
+    """Lockstep skip-link walk (see ops/intersect.py::_skip_traverse);
+    leaf slots run the vectorized round-cone test."""
+    n = org.shape[0]
+    sentinel = bvh["node_box"].shape[0] - 1
+    leaf_size = bvh["leaf_pack"].shape[1] // 10  # 9 payload floats + id
+    inv_d = jnp.where(
+        jnp.abs(direction) > 1e-20,
+        1.0 / jnp.where(direction != 0.0, direction, 1.0),
+        np.float32(3.0e38),
+    )
 
-        def body(i, best):
-            bt, bp = best
-            p = order[s + i]
+    def cond(s):
+        node, _, _ = s
+        return jnp.any(node != sentinel)
+
+    def step(s):
+        node, best_t, best_prim = s
+        row = bvh["node_box"][node]                     # [N, 8]
+        lo, hi = row[:, 0:3], row[:, 3:6]
+        miss = row[:, 6].view(jnp.int32)
+        lrow = row[:, 7].view(jnp.int32)
+        is_leaf = lrow >= 0
+        t0 = (lo - org) * inv_d
+        t1 = (hi - org) * inv_d
+        near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        cap = jnp.minimum(tmax, best_t)
+        hit_box = jnp.maximum(near, tmin) <= jnp.minimum(far, cap)
+
+        do_leaf = hit_box & is_leaf
+        seg = bvh["leaf_pack"][jnp.maximum(lrow, 0)]    # [N, K*10]
+        for k in range(leaf_size):
+            pa = seg[:, 9 * k: 9 * k + 3]
+            ba = seg[:, 9 * k + 3: 9 * k + 6]
+            ra = seg[:, 9 * k + 6]
+            rb = seg[:, 9 * k + 7]
+            m0 = seg[:, 9 * k + 8]
+            pid = seg[:, 9 * leaf_size + k].view(jnp.int32)
             t = _roundcone_t(
-                o, d, curves.pa[p], curves.ba[p], curves.ra[p], curves.rb[p],
-                curves.m0[p], tmin, jnp.minimum(bt, tmax),
+                org, direction, pa, ba, ra, rb, m0,
+                tmin, jnp.minimum(best_t, tmax),
             )
-            ok = t < jnp.minimum(bt, tmax)
-            return jnp.where(ok, t, bt), jnp.where(ok, p, bp)
+            ok = do_leaf & (pid >= 0) & (t < jnp.minimum(best_t, tmax))
+            best_t = jnp.where(ok, t, best_t)
+            best_prim = jnp.where(ok, pid, best_prim)
 
-        best_t, best_prim = jax.lax.fori_loop(0, c, body, (best_t, best_prim))
-
-        # --- inner: push children ordered by entry distance, masked ---
-        l = jnp.where(is_leaf, node, left[node])
-        r = jnp.where(is_leaf, node, right[node])
-        cap = jnp.minimum(best_t, tmax)
-        hit_l, near_l = _ray_aabb(o, inv_d, lo[l], hi[l], tmin, cap)
-        hit_r, near_r = _ray_aabb(o, inv_d, lo[r], hi[r], tmin, cap)
-        near_first = near_l <= near_r
-        first = jnp.where(near_first, l, r)
-        second = jnp.where(near_first, r, l)
-        hit_first = jnp.where(near_first, hit_l, hit_r) & ~is_leaf
-        hit_second = jnp.where(near_first, hit_r, hit_l) & ~is_leaf
-        stack = stack.at[sp].set(second)
-        sp = sp + hit_second.astype(jnp.int32)
-        stack = stack.at[sp].set(first)
-        sp = sp + hit_first.astype(jnp.int32)
-        return sp, stack, best_t, best_prim
-
-    def cond(state):
-        sp, _, _, best_prim = state
-        not_done = sp > 0
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, miss)
         if any_hit:
-            not_done = not_done & (best_prim < 0)
-        return not_done
+            nxt = jnp.where(best_prim >= 0, sentinel, nxt)
+        nxt = jnp.where(node == sentinel, sentinel, nxt)
+        return nxt, best_t, best_prim
 
-    stack0 = jnp.zeros((MAX_STACK,), jnp.int32)
-    root_hit, _ = _ray_aabb(o, inv_d, lo[0], hi[0], tmin, tmax)
-    state = (root_hit.astype(jnp.int32), stack0, RT_MAX, np.int32(-1))
-    _, _, t, prim = jax.lax.while_loop(cond, step, state)
+    node0 = jnp.where(tmax <= tmin, sentinel, jnp.zeros((n,), jnp.int32))
+    _, t, prim = jax.lax.while_loop(
+        cond, step,
+        (node0, jnp.full((n,), RT_MAX), jnp.full((n,), -1, jnp.int32)),
+    )
     return t, prim
 
 
 def intersect_curves_bvh(org, direction, bvh, curves: CurveSoA, tmin, tmax) -> CurveHit:
-    t, prim = jax.vmap(
-        lambda o, d, a, b: _traverse_one(o, d, a, b, bvh, curves, any_hit=False)
-    )(org, direction, tmin, tmax)
+    t, prim = _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit=False)
     return CurveHit(t=t, prim=prim)
 
 
 def occluded_curves_bvh(org, direction, bvh, curves: CurveSoA, tmin, tmax) -> jnp.ndarray:
-    _, prim = jax.vmap(
-        lambda o, d, a, b: _traverse_one(o, d, a, b, bvh, curves, any_hit=True)
-    )(org, direction, tmin, tmax)
+    _, prim = _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit=True)
     return prim >= 0
 
 
