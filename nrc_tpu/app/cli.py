@@ -45,8 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=1,
                    help="shard the frame over N chips (shard_map data mesh)")
     p.add_argument("--checkpoint", default=None,
-                   help="save network weights here when done")
-    p.add_argument("--resume", default=None, help="load network weights first")
+                   help="save the full render state here when done")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="also checkpoint every N frames (atomic; crash/"
+                        "preemption recovery)")
+    p.add_argument("--resume", default=None,
+                   help="restore a checkpoint first (full render state, or "
+                        "a network-weights-only file)")
     p.add_argument("--output", default=None, help="screenshot path prefix")
     p.add_argument("--hdr", action="store_true", help="also write linear .hdr")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -92,10 +97,21 @@ def main(argv=None) -> int:
         driver = ParallelRenderer(r, make_mesh(args.devices))
 
     if args.resume:
-        from ..models.checkpoint import load_checkpoint
+        from ..models.checkpoint import (
+            is_render_state,
+            load_checkpoint,
+            load_render_state,
+        )
 
-        r.net_state = load_checkpoint(args.resume, r.net_cfg)
-        print(f"resumed network from {args.resume}")
+        if is_render_state(args.resume):
+            load_render_state(args.resume, r)
+            print(
+                f"resumed render state from {args.resume} "
+                f"(iteration {r.iteration})"
+            )
+        else:
+            r.net_state = load_checkpoint(args.resume, r.net_cfg)
+            print(f"resumed network from {args.resume}")
 
     spp = args.spp if args.spp is not None else system.samples_sqrt ** 2
     stats_f = open(args.stats_log, "w") if args.stats_log else None
@@ -138,10 +154,10 @@ def main(argv=None) -> int:
         print(r.save_system_description(args.save_system))
 
     if args.checkpoint:
-        from ..models.checkpoint import save_checkpoint
+        from ..models.checkpoint import save_render_state
 
-        save_checkpoint(args.checkpoint, r.net_state)
-        print(f"saved network to {args.checkpoint}")
+        save_render_state(args.checkpoint, r)
+        print(f"saved render state to {args.checkpoint}")
     return 0
 
 
@@ -198,6 +214,14 @@ def _present_loop(args, driver, r, spp, t0):
 def _render_loop(args, driver, r, spp, stats_f, t0):
     for i in range(spp):
         stats = driver.render_frame()
+        if (
+            args.checkpoint
+            and args.checkpoint_every
+            and (i + 1) % args.checkpoint_every == 0
+        ):
+            from ..models.checkpoint import save_render_state
+
+            save_render_state(args.checkpoint, r)
         if stats_f is not None:
             stats_f.write(
                 json.dumps(

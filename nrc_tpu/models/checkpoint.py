@@ -83,3 +83,71 @@ def load_checkpoint(path: str, cfg: Optional[NetworkConfig] = None) -> NetworkSt
                 f"config wants {'hash' if want_grid else 'frequency'}"
             )
     return NetworkState(params=params, ema=ema, opt=opt, grid=grid, ema_grid=ema_grid)
+
+
+# ---------------------------------------------------------------------------
+# Full render-state checkpoint: network + accumulation + frame counters.
+# Superset of the reference (which restarts from scratch on any failure):
+# a crashed or preempted render resumes mid-accumulation with the online-
+# trained cache, optimizer moments, and the progressive image intact.
+# ---------------------------------------------------------------------------
+
+def save_render_state(path: str, renderer) -> str:
+    """Checkpoint a ``Renderer``: network state + accumulated image +
+    iteration / subframe counters + tile size."""
+    if not path.endswith(".npz"):
+        path += ".npz"
+    arrays = {f"net.{k}": np.asarray(v)
+              for k, v in _flatten(renderer.net_state).items()}
+    arrays["render.image"] = np.asarray(renderer.image)
+    arrays["render.iteration"] = np.int64(renderer.iteration)
+    arrays["render.total_subframe"] = np.int64(renderer.total_subframe)
+    arrays["render.tile_size"] = np.asarray(renderer.cfg.tile_size, np.int32)
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)  # atomic: a crash mid-save never corrupts
+    return path
+
+
+def load_render_state(path: str, renderer) -> None:
+    """Restore a ``Renderer`` saved by ``save_render_state`` in place."""
+    import dataclasses
+
+    if not path.endswith(".npz"):
+        path += ".npz"
+    z = np.load(path)
+
+    def j(k):
+        return jnp.asarray(z[f"net.{k}"])
+
+    params = MLPParams(j("params.w_in"), j("params.w_hidden"), j("params.w_out"))
+    ema = MLPParams(j("ema.w_in"), j("ema.w_hidden"), j("ema.w_out"))
+    mu = MLPParams(j("opt.mu.w_in"), j("opt.mu.w_hidden"), j("opt.mu.w_out"))
+    nu = MLPParams(j("opt.nu.w_in"), j("opt.nu.w_hidden"), j("opt.nu.w_out"))
+    has_grid = "net.grid.table" in z
+    grid = HashGridParams(j("grid.table")) if has_grid else None
+    ema_grid = HashGridParams(j("ema_grid.table")) if has_grid else None
+    opt = AdamState(
+        mu=mu, nu=nu, step=j("opt.step"),
+        mu_grid=j("opt.mu_grid") if has_grid else None,
+        nu_grid=j("opt.nu_grid") if has_grid else None,
+    )
+    renderer.net_state = NetworkState(
+        params=params, ema=ema, opt=opt, grid=grid, ema_grid=ema_grid
+    )
+    renderer.image = jnp.asarray(z["render.image"])
+    renderer.iteration = int(z["render.iteration"])
+    renderer.total_subframe = int(z["render.total_subframe"])
+    ts = tuple(int(x) for x in z["render.tile_size"])
+    if ts != renderer.cfg.tile_size:
+        renderer.cfg = dataclasses.replace(renderer.cfg, tile_size=ts)
+
+
+def is_render_state(path: str) -> bool:
+    if not path.endswith(".npz"):
+        path += ".npz"
+    with np.load(path) as z:
+        return "render.image" in z

@@ -58,3 +58,51 @@ class TestCheckpoint:
 
         with pytest.raises(ValueError):
             load_checkpoint(p, NetworkConfig(encoding=InputEncoding.HASH))
+
+
+class TestRenderStateCheckpoint:
+    def test_roundtrip_resumes_mid_accumulation(self, tmp_path):
+        from nrc_tpu.config import RenderMode
+        from nrc_tpu.models.checkpoint import (
+            is_render_state,
+            load_render_state,
+            save_render_state,
+        )
+        from nrc_tpu.render.renderer import Renderer
+        from nrc_tpu.scene.scene_builder import load_scene
+
+        scene, system = load_scene(
+            "/root/reference/data/system_mdl_cornell.txt",
+            "/root/reference/data/scene_mdl_cornell.txt",
+        )
+        system.resolution = (16, 16)
+        system.tile_size = (8, 8)
+        r = Renderer(scene, system, render_mode=RenderMode.FULL, train=True,
+                     adaptive_tiles=False)
+        for _ in range(3):
+            r.render_frame()
+        p = save_render_state(str(tmp_path / "state"), r)
+        assert is_render_state(p)
+
+        # continue the original 2 more frames -> ground truth
+        for _ in range(2):
+            r.render_frame()
+        img_truth = np.asarray(r.image)
+
+        # fresh renderer resumes from the checkpoint and replays the tail
+        r2 = Renderer(scene, system, render_mode=RenderMode.FULL, train=True,
+                      adaptive_tiles=False)
+        load_render_state(p, r2)
+        assert r2.iteration == 3 and r2.total_subframe == 3
+        for _ in range(2):
+            r2.render_frame()
+        np.testing.assert_allclose(np.asarray(r2.image), img_truth,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_network_only_detection(self, tmp_path):
+        from nrc_tpu.models.checkpoint import is_render_state, save_checkpoint
+        from nrc_tpu.models.network import init_network
+
+        cfg = NetworkConfig()
+        p = save_checkpoint(str(tmp_path / "net"), init_network(jax.random.PRNGKey(0), cfg))
+        assert not is_render_state(p)
