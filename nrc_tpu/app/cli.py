@@ -202,7 +202,8 @@ def _present_loop(args, driver, r, spp, t0):
                     r.loss_history[-1] if r.loss_history else 0.0
                 )
                 viewer.publish(
-                    buf.getvalue(), r.iteration, i / max(now - t0, 1e-9), loss
+                    buf.getvalue(), r.iteration, i / max(now - t0, 1e-9),
+                    loss, loss_history=list(r.loss_history),
                 )
                 last_pub = now
     except KeyboardInterrupt:

@@ -33,6 +33,7 @@ img { image-rendering: pixelated; margin-top: 8px; cursor: grab; }
 <div id="bar">drag: orbit &middot; shift-drag: pan &middot; wheel: dolly
 &middot; ctrl-wheel: zoom &middot; <span id="stats"></span></div>
 <img id="frame" src="/frame.png" draggable="false">
+<svg id="lossplot" width="512" height="48" style="margin-top:6px"></svg>
 </div><script>
 const img = document.getElementById('frame');
 const stats = document.getElementById('stats');
@@ -51,11 +52,25 @@ img.addEventListener('wheel', e => {
   const op = e.ctrlKey ? 'zoom' : 'dolly';
   fetch(`/control?op=${op}&d=${e.deltaY > 0 ? -1 : 1}`);
 }, { passive: false });
+const plot = document.getElementById('lossplot');
 setInterval(() => {
   img.src = '/frame.png?t=' + Date.now();
   fetch('/stats').then(r => r.json()).then(s => {
     stats.textContent =
       `spp ${s.iteration} | ${s.fps.toFixed(2)} fps | loss ${s.loss.toFixed(4)}`;
+    // 256-frame loss sparkline (the reference Stats window plot)
+    const h = s.loss_history || [];
+    if (h.length > 1) {
+      const w = 512, ht = 48, mx = Math.max(...h), mn = Math.min(...h);
+      const pts = h.map((v, i) =>
+        `${(i / (h.length - 1) * w).toFixed(1)},` +
+        `${(ht - 2 - (v - mn) / Math.max(mx - mn, 1e-9) * (ht - 4)).toFixed(1)}`
+      ).join(' ');
+      plot.innerHTML =
+        `<polyline points="${pts}" fill="none" stroke="#6cf" stroke-width="1"/>` +
+        `<text x="2" y="10" fill="#888" font-size="9">${mx.toFixed(3)}</text>` +
+        `<text x="2" y="${ht - 2}" fill="#888" font-size="9">${mn.toFixed(3)}</text>`;
+    }
   });
 }, 1000);
 </script></body></html>"""
@@ -120,13 +135,14 @@ class Viewer:
         return f"http://{self._server.server_address[0]}:{self.port}/"
 
     def publish(self, png_bytes: bytes, iteration: int, fps: float,
-                loss: float) -> None:
+                loss: float, loss_history=()) -> None:
         with self._lock:
             self._png = png_bytes
             self._stats = {
                 "iteration": int(iteration),
                 "fps": float(fps),
                 "loss": float(loss),
+                "loss_history": [float(x) for x in loss_history],
             }
 
     def apply_events(self, camera) -> bool:

@@ -22,19 +22,22 @@ def test_viewer_serves_frames_and_controls():
         # page
         page = _get(v.url).decode()
         assert "frame.png" in page and "orbit" in page
+        assert "lossplot" in page  # loss sparkline (Stats-window plot)
 
         # publish a frame, read it back
         img = np.zeros((8, 8, 3), np.uint8)
         img[:, :, 0] = 255
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, format="PNG")
-        v.publish(buf.getvalue(), iteration=3, fps=1.5, loss=0.25)
+        v.publish(buf.getvalue(), iteration=3, fps=1.5, loss=0.25,
+                  loss_history=[1.0, 0.5, 0.25])
 
         back = np.asarray(Image.open(io.BytesIO(_get(v.url + "frame.png"))))
         assert back.shape[:2] == (8, 8) and back[0, 0, 0] == 255
 
         stats = json.loads(_get(v.url + "stats"))
-        assert stats == {"iteration": 3, "fps": 1.5, "loss": 0.25}
+        assert stats == {"iteration": 3, "fps": 1.5, "loss": 0.25,
+                         "loss_history": [1.0, 0.5, 0.25]}
 
         # camera verbs round-trip through the event queue
         _get(v.url + "control?op=orbit&dx=0.25&dy=0.1")
