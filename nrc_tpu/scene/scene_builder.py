@@ -96,10 +96,15 @@ def _make_mesh(decl) -> geo.Mesh:
         return geo.create_torus(tu, tv, inner, outer)
     if decl.kind == "assimp":
         # mesh import by extension (Assimp stand-in, Assimp.cpp:54-239)
-        if decl.path.lower().endswith(".ply"):
+        ext = os.path.splitext(decl.path)[1].lower()
+        if ext == ".ply":
             from .ply_loader import load_ply
 
             return load_ply(decl.path)
+        if ext in (".gltf", ".glb"):
+            from .gltf_loader import load_gltf
+
+            return load_gltf(decl.path)
         from .obj_loader import load_obj  # lazy: optional subsystem
 
         return load_obj(decl.path)
