@@ -42,6 +42,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[m.name.lower() for m in RenderMode])
     p.add_argument("--encoding", default="frequency", choices=("frequency", "hash"))
     p.add_argument("--no-train", action="store_true")
+    p.add_argument("--lr", type=float, default=None,
+                   help="Adam learning rate (default per encoding: 1e-3 "
+                        "frequency / 1e-2 hash)")
+    p.add_argument("--unbiased-ratio", type=float, default=None,
+                   help="fraction of training rays traced unbiased "
+                        "(default 1/16)")
+    p.add_argument("--area-spread", type=float, default=None,
+                   help="area-spread truncation constant c (default 0.01)")
     p.add_argument("--devices", type=int, default=1,
                    help="shard the frame over N chips (shard_map data mesh)")
     p.add_argument("--checkpoint", default=None,
@@ -90,6 +98,12 @@ def main(argv=None) -> int:
         scene, system, net_cfg=net_cfg, render_mode=render_mode,
         train=not args.no_train,
     )
+    if args.lr or args.unbiased_ratio or args.area_spread:
+        r.set_hyper_params(
+            learning_rate=args.lr,
+            train_unbiased_ratio=args.unbiased_ratio,
+            area_spread_factor=args.area_spread,
+        )
     driver = r
     if args.devices > 1:
         from ..parallel.shard import ParallelRenderer, make_mesh

@@ -200,6 +200,11 @@ class FrameConfig:
     # declares cutout opacity (scalar or texture).
     has_textures: bool = False
     has_cutout: bool = False
+    # sqrt of the paper's area-spread constant {c} (Eq. 4); live-tunable
+    # via NRCHyperParams (nrcAreaSpreadFactorSqrt, system_data.h:139)
+    area_spread_sqrt: float = 0.1
+    # fraction of training rays traced unbiased (TRAIN_UNBIASED_RATIO)
+    train_unbiased_ratio: float = 1.0 / 16.0
     # Static set of BSDF archetypes present in the scene (None = all):
     # specializes the compiled lobe families, the analog of the reference
     # JIT-compiling only declared MDL materials (Raytracer.cpp:1968-2163).

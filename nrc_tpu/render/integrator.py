@@ -200,9 +200,7 @@ def trace_wavefront(
     if unbiased is None:
         unbiased = jnp.zeros((n,), bool)
 
-    from ..config import NRCHyperParams
-
-    sqrt_c = NRCHyperParams().area_spread_factor_sqrt  # sqrt(c), c = 0.01
+    sqrt_c = cfg.area_spread_sqrt  # sqrt(c), paper Eq. 4; default c = 0.01
 
     # Volume transport compiles in only when some material declares volume
     # coefficients (homogeneous media; raygeneration.cu:184-213, miss.cu:62-79).

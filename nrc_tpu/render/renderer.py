@@ -142,17 +142,48 @@ class Renderer:
         )
 
     def _compiled_step(self, cfg: FrameConfig):
-        key = (cfg.tile_size, cfg.render_mode, cfg.train)
+        # key on every static field (hyper-parameter edits recompile, the
+        # analog of the reference's setState dirty-diff re-upload)
+        key = tuple(
+            tuple(sorted(v)) if isinstance(v, frozenset) else v
+            for v in dataclasses.astuple(cfg)
+        )
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(
                 functools.partial(
                     frame_step,
                     cfg=cfg,
                     net_cfg=self.net_cfg,
-                    train_unbiased_ratio=self.hyper.train_unbiased_ratio,
+                    train_unbiased_ratio=cfg.train_unbiased_ratio,
                 )
             )
         return self._step_cache[key]
+
+    def set_hyper_params(
+        self,
+        learning_rate: float = None,
+        train_unbiased_ratio: float = None,
+        area_spread_factor: float = None,
+    ) -> None:
+        """Live NRC hyper-parameter updates (the reference's Stats-window
+        sliders -> ``DeviceState`` dirty diff, ``Device.cpp:1724-1842``)."""
+        import math
+
+        h = self.hyper
+        if learning_rate is not None:
+            h = dataclasses.replace(h, learning_rate=learning_rate)
+        if train_unbiased_ratio is not None:
+            h = dataclasses.replace(
+                h, train_unbiased_ratio=train_unbiased_ratio
+            )
+        if area_spread_factor is not None:
+            h = dataclasses.replace(h, area_spread_factor=area_spread_factor)
+        self.hyper = h
+        self.cfg = dataclasses.replace(
+            self.cfg,
+            area_spread_sqrt=math.sqrt(h.area_spread_factor),
+            train_unbiased_ratio=h.train_unbiased_ratio,
+        )
 
     # -- frame loop --------------------------------------------------------
 
@@ -166,6 +197,8 @@ class Renderer:
             self._camera_arrays(),
             jnp.int32(self.iteration),
             jnp.uint32(self.total_subframe),
+            # traced: live lr edits don't recompile (optimizer->set_learning_rate)
+            learning_rate=jnp.float32(self.hyper.learning_rate),
         )
         self.iteration += 1
         self.total_subframe += 1

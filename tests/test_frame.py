@@ -154,3 +154,23 @@ class TestOnlineTraining:
             r.render_frame()
             img = r.image_hdr()
             assert np.all(np.isfinite(img)), mode
+
+
+class TestHyperParams:
+    def test_set_hyper_params_threads_through(self, cornell_small):
+        import dataclasses
+
+        scene, system = cornell_small
+        from nrc_tpu.render.renderer import Renderer
+        from nrc_tpu.config import RenderMode
+
+        r = Renderer(scene, system, render_mode=RenderMode.FULL, train=True,
+                     adaptive_tiles=False)
+        r.set_hyper_params(learning_rate=5e-3, train_unbiased_ratio=0.5,
+                           area_spread_factor=0.04)
+        assert r.hyper.learning_rate == 5e-3
+        assert r.cfg.train_unbiased_ratio == 0.5
+        assert abs(r.cfg.area_spread_sqrt - 0.2) < 1e-6
+        # renders with the new static config (fresh compile keyed on cfg)
+        stats = r.render_frame()
+        assert stats is not None
