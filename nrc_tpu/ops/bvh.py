@@ -110,9 +110,19 @@ def flatten_skip_links_rows(
     bvh: Dict[str, np.ndarray],
     prim_rows: np.ndarray,      # [K, R] per-primitive payload rows
     leaf_size: int = 4,
+    octant_orders: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Primitive-generic skip-link flattening (triangles, curve segments):
-    leaf rows pack ``leaf_size`` payload rows + bitcast prim ids."""
+    leaf rows pack ``leaf_size`` payload rows + bitcast prim ids.
+
+    With ``octant_orders`` the node table holds EIGHT pre-order variants,
+    one per ray-direction octant, each visiting the nearer child first
+    along the children's dominant separating axis. A ray starts at
+    ``octant * (n+1)`` and walks links that stay inside its block; the
+    near-first order tightens the closest-hit tmax cap sooner and prunes
+    more of the far subtree — the stackless substitute for ordered
+    stack traversal. Leaf rows are shared across octants.
+    """
     left, right = bvh["left"], bvh["right"]
     start, count, order = bvh["start"], bvh["count"], bvh["order"]
     lo, hi = bvh["lo"], bvh["hi"]
@@ -155,44 +165,96 @@ def flatten_skip_links_rows(
         return out
 
     n = int(nsize[0])
-    node_box = np.zeros((n + 1, 8), np.float32)
     leaf_rows = []
     leaf_id_rows = []
+    leaf_row_of = {}  # old node -> shared leaf row id
+    centers = (lo + hi) * 0.5
 
-    idx = 0
-    stack = [(0, n)]  # (old node, miss target in NEW numbering)
-    while stack:
-        node, miss_t = stack.pop()
-        new = idx
-        idx += 1
-        node_box[new, 0:3] = lo[node]
-        node_box[new, 3:6] = hi[node]
-        node_box[new, 6] = np.int32(miss_t).view(np.float32)
-        if prims[node] <= leaf_size:  # (collapsed) leaf
+    # precompute per-inner-node ordering inputs, vectorized: the dominant
+    # child-separating axis and which child is the lower-centroid one
+    is_collapsed_leaf = prims <= leaf_size
+    safe_l = np.maximum(left, 0)
+    safe_r = np.maximum(right, 0)
+    sep = centers[safe_l] - centers[safe_r]
+    dom_axis = np.argmax(np.abs(sep), axis=-1)
+    left_is_lower = sep[np.arange(n_old), dom_axis] <= 0.0
+    # cheap Python containers for the hot sequential walk
+    left_l = left.tolist()
+    right_l = right.tolist()
+    nsize_l = nsize.tolist()
+    leaf_l = is_collapsed_leaf.tolist()
+    dom_l = dom_axis.tolist()
+    lower_l = left_is_lower.tolist()
+
+    def leaf_row_id(node: int) -> int:
+        rid = leaf_row_of.get(node)
+        if rid is None:
             prim = collect_prims(node)
-            node_box[new, 7] = np.int32(len(leaf_id_rows)).view(np.float32)
             rows = np.zeros((leaf_size, row_w), np.float32)
             ids = np.full(leaf_size, -1, np.int32)
             rows[: len(prim)] = prim_rows[prim]
             ids[: len(prim)] = prim
+            rid = leaf_row_of[node] = len(leaf_id_rows)
             leaf_rows.append(
                 np.concatenate([rows.reshape(-1), ids.view(np.float32)])
             )
             leaf_id_rows.append(ids)
-        else:
-            node_box[new, 7] = np.int32(-1).view(np.float32)
-            l, r = int(left[node]), int(right[node])
-            # pre-order: left = new+1; right starts after left's subtree
-            right_new = new + 1 + int(nsize[l])
-            stack.append((r, miss_t))
-            stack.append((l, right_new))
-    assert idx == n, (idx, n)
+        return rid
 
-    # sentinel row: inverted AABB (never hit), self-missing
-    node_box[n, 0:3] = np.float32(3.0e38)
-    node_box[n, 3:6] = np.float32(-3.0e38)
-    node_box[n, 6] = np.int32(n).view(np.float32)
-    node_box[n, 7] = np.int32(-1).view(np.float32)
+    def emit_order(first_low: tuple, base: int) -> np.ndarray:
+        """One pre-order block. ``first_low[axis]``: visit the
+        lower-centroid child first (True) or second (False) along axis.
+        The sequential pre-order walk runs on plain Python ints; rows are
+        assembled afterwards with one fancy-indexed pass."""
+        perm = [0] * n      # new index -> old node
+        miss = [0] * n      # new index -> block-local miss target
+        lrow = [-1] * n     # new index -> shared leaf row (or -1 inner)
+        idx = 0
+        stack = [(0, n)]  # (old node, miss target in block-local numbering)
+        while stack:
+            node, miss_t = stack.pop()
+            new = idx
+            idx += 1
+            perm[new] = node
+            miss[new] = miss_t
+            if leaf_l[node]:  # (collapsed) leaf
+                lrow[new] = leaf_row_id(node)
+            else:
+                l, r = left_l[node], right_l[node]
+                l_first = lower_l[node] == first_low[dom_l[node]]
+                a, b = (l, r) if l_first else (r, l)
+                # pre-order: first child = new+1; second after its subtree
+                stack.append((b, miss_t))
+                stack.append((a, new + 1 + nsize_l[a]))
+        assert idx == n, (idx, n)
+
+        block = np.empty((n + 1, 8), np.float32)
+        pa = np.asarray(perm, np.int64)
+        block[:n, 0:3] = lo[pa]
+        block[:n, 3:6] = hi[pa]
+        block[:n, 6] = (np.asarray(miss, np.int32) + np.int32(base)).view(
+            np.float32
+        )
+        block[:n, 7] = np.asarray(lrow, np.int32).view(np.float32)
+        # sentinel row: inverted AABB (never hit), self-missing
+        block[n, 0:3] = np.float32(3.0e38)
+        block[n, 3:6] = np.float32(-3.0e38)
+        block[n, 6] = np.int32(base + n).view(np.float32)
+        block[n, 7] = np.int32(-1).view(np.float32)
+        return block
+
+    # [octants, n+1, 8]: octant count and block size live in the SHAPE so
+    # they stay static through jit (scalar dict entries would be traced)
+    if octant_orders:
+        node_box = np.stack([
+            emit_order(
+                (bool(o & 1), bool(o >> 1 & 1), bool(o >> 2 & 1)),
+                base=o * (n + 1),
+            )
+            for o in range(8)
+        ])
+    else:
+        node_box = emit_order((True, True, True), base=0)[None]
 
     leaf_pack = (
         np.stack(leaf_rows)

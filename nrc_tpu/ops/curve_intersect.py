@@ -154,7 +154,18 @@ def _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
     """Lockstep skip-link walk (see ops/intersect.py::_skip_traverse);
     leaf slots run the vectorized round-cone test."""
     n = org.shape[0]
-    sentinel = bvh["node_box"].shape[0] - 1
+    octants, block = bvh["node_box"].shape[0], bvh["node_box"].shape[1]
+    nodes_flat = bvh["node_box"].reshape(-1, 8)
+    # per-ray octant picks the near-child-first pre-order variant
+    if octants > 1:
+        base = (
+            (direction[:, 0] > 0).astype(jnp.int32)
+            | ((direction[:, 1] > 0).astype(jnp.int32) << 1)
+            | ((direction[:, 2] > 0).astype(jnp.int32) << 2)
+        ) * block
+    else:
+        base = jnp.zeros((n,), jnp.int32)
+    sentinel = base + (block - 1)
     leaf_size = bvh["leaf_pack"].shape[1] // 10  # 9 payload floats + id
     inv_d = jnp.where(
         jnp.abs(direction) > 1e-20,
@@ -164,11 +175,11 @@ def _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
 
     def cond(s):
         node, _, _ = s
-        return jnp.any(node != sentinel)
+        return jnp.any(node != sentinel)  # per-lane octant sentinel
 
     def step(s):
         node, best_t, best_prim = s
-        row = bvh["node_box"][node]                     # [N, 8]
+        row = nodes_flat[node]                     # [N, 8]
         lo, hi = row[:, 0:3], row[:, 3:6]
         miss = row[:, 6].view(jnp.int32)
         lrow = row[:, 7].view(jnp.int32)
@@ -203,7 +214,7 @@ def _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
         nxt = jnp.where(node == sentinel, sentinel, nxt)
         return nxt, best_t, best_prim
 
-    node0 = jnp.where(tmax <= tmin, sentinel, jnp.zeros((n,), jnp.int32))
+    node0 = jnp.where(tmax <= tmin, sentinel, base)
     _, t, prim = jax.lax.while_loop(
         cond, step,
         (node0, jnp.full((n,), RT_MAX), jnp.full((n,), -1, jnp.int32)),
