@@ -151,8 +151,9 @@ def build_curve_bvh(seg, max_leaf: int = 4):
 
 
 def _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
-    """Lockstep skip-link walk (see ops/intersect.py::_skip_traverse);
-    leaf slots run the vectorized round-cone test."""
+    """Two-phase lockstep skip-link walk (see
+    ops/intersect.py::_skip_traverse); the outer leaf batch runs the
+    vectorized round-cone test."""
     n = org.shape[0]
     octants, block = bvh["node_box"].shape[0], bvh["node_box"].shape[1]
     nodes_flat = bvh["node_box"].reshape(-1, 8)
@@ -173,25 +174,40 @@ def _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
         np.float32(3.0e38),
     )
 
-    def cond(s):
-        node, _, _ = s
-        return jnp.any(node != sentinel)  # per-lane octant sentinel
+    def descend_cond(s):
+        node, lrow, _, _ = s
+        return jnp.any((node != sentinel) & (lrow < 0))
 
-    def step(s):
-        node, best_t, best_prim = s
+    def descend(s):
+        node, lrow, best_t, best_prim = s
+        active = (node != sentinel) & (lrow < 0)
         row = nodes_flat[node]                     # [N, 8]
         lo, hi = row[:, 0:3], row[:, 3:6]
         miss = row[:, 6].view(jnp.int32)
-        lrow = row[:, 7].view(jnp.int32)
-        is_leaf = lrow >= 0
+        lr = row[:, 7].view(jnp.int32)
+        is_leaf = lr >= 0
         t0 = (lo - org) * inv_d
         t1 = (hi - org) * inv_d
         near = jnp.max(jnp.minimum(t0, t1), axis=-1)
         far = jnp.min(jnp.maximum(t0, t1), axis=-1)
         cap = jnp.minimum(tmax, best_t)
         hit_box = jnp.maximum(near, tmin) <= jnp.minimum(far, cap)
+        park = hit_box & is_leaf
+        new_lrow = jnp.where(active, jnp.where(park, lr, -1), lrow)
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, miss)
+        nxt = jnp.where(park, node, nxt)  # parked lanes advance in outer
+        nxt = jnp.where(active, nxt, node)
+        return nxt, new_lrow, best_t, best_prim
 
-        do_leaf = hit_box & is_leaf
+    def outer_cond(s):
+        node, _, _, _ = s
+        return jnp.any(node != sentinel)
+
+    def outer(s):
+        node, lrow, best_t, best_prim = jax.lax.while_loop(
+            descend_cond, descend, s
+        )
+        do_leaf = lrow >= 0
         seg = bvh["leaf_pack"][jnp.maximum(lrow, 0)]    # [N, K*10]
         for k in range(leaf_size):
             pa = seg[:, 9 * k: 9 * k + 3]
@@ -208,16 +224,19 @@ def _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
             best_t = jnp.where(ok, t, best_t)
             best_prim = jnp.where(ok, pid, best_prim)
 
-        nxt = jnp.where(hit_box & ~is_leaf, node + 1, miss)
+        # advance parked lanes to their miss links
+        row = nodes_flat[node]
+        miss = row[:, 6].view(jnp.int32)
+        nxt = jnp.where(do_leaf, miss, node)
         if any_hit:
             nxt = jnp.where(best_prim >= 0, sentinel, nxt)
-        nxt = jnp.where(node == sentinel, sentinel, nxt)
-        return nxt, best_t, best_prim
+        return nxt, jnp.full((n,), -1, jnp.int32), best_t, best_prim
 
     node0 = jnp.where(tmax <= tmin, sentinel, base)
-    _, t, prim = jax.lax.while_loop(
-        cond, step,
-        (node0, jnp.full((n,), RT_MAX), jnp.full((n,), -1, jnp.int32)),
+    _, _, t, prim = jax.lax.while_loop(
+        outer_cond, outer,
+        (node0, jnp.full((n,), -1, jnp.int32),
+         jnp.full((n,), RT_MAX), jnp.full((n,), -1, jnp.int32)),
     )
     return t, prim
 
