@@ -42,6 +42,13 @@ def load_image_rgba(path: str) -> np.ndarray:
         rgb = load_radiance_hdr(path).astype(np.float32)
         a = np.ones(rgb.shape[:2] + (1,), np.float32)
         return np.concatenate([rgb, a], axis=-1)
+    if ext == ".dds":
+        from .dds_loader import load_dds
+
+        img = load_dds(path)
+        if img.ndim == 4:  # cube map in a 2D slot: vertical face strip
+            img = img.reshape(-1, img.shape[2], 4)
+        return img.astype(np.float32)
     try:
         from PIL import Image
 
