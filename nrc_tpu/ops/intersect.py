@@ -353,10 +353,85 @@ def _skip_traverse(org, direction, bvh, tmin, tmax, any_hit: bool):
     return t, prim
 
 
+# Row-gather throughput on TPU is ~independent of activity: every lockstep
+# step gathers one node row for EVERY lane, finished or not, and the walk
+# runs until the LAST lane finishes. Splitting the batch into chunks of
+# coherent rays (sorted by direction octant + quantized direction + origin
+# Morton code) lets each chunk's while_loop exit as soon as ITS slowest ray
+# finishes — measured 4.4x faster on an incoherent 65k-ray batch against a
+# 486k-tri BVH (427 -> 96 ms on v5e), bit-identical results. The chunk size
+# keeps per-step fixed overhead amortized; lax.map runs chunks sequentially.
+TRAVERSAL_CHUNK = 2048
+
+
+def _part_bits(v):
+    """Spread 5 bits to every 3rd position (for 3-axis Morton interleave)."""
+    v = (v | (v << 8)) & 0x100F
+    v = (v | (v << 4)) & 0x10C3
+    v = (v | (v << 2)) & 0x1249
+    return v
+
+
+def _coherence_key(org, direction, tmin, tmax, bvh):
+    """Sort key: [dead:1 | octant:3 | dir_q:6 | org_morton:15]. Dead lanes
+    (empty t-range) sort last so they pool into chunks that exit at once."""
+    octants, block = bvh["node_box"].shape[0], bvh["node_box"].shape[1]
+    nodes_flat = bvh["node_box"].reshape(-1, 8)
+    root_lo = nodes_flat[0, 0:3]
+    root_hi = nodes_flat[0, 3:6]
+    oct_ = (
+        (direction[:, 0] > 0).astype(jnp.int32)
+        | ((direction[:, 1] > 0).astype(jnp.int32) << 1)
+        | ((direction[:, 2] > 0).astype(jnp.int32) << 2)
+    )
+    dq = jnp.clip(((direction + 1.0) * 1.999).astype(jnp.int32), 0, 3)
+    ext = jnp.maximum(root_hi - root_lo, 1e-30)
+    oq = jnp.clip(((org - root_lo) / ext * 31.999).astype(jnp.int32), 0, 31)
+    morton = (
+        _part_bits(oq[:, 0]) | (_part_bits(oq[:, 1]) << 1)
+        | (_part_bits(oq[:, 2]) << 2)
+    )
+    key = (oct_ << 21) | (dq[:, 0] << 19) | (dq[:, 1] << 17) | (dq[:, 2] << 15) | morton
+    return jnp.where(tmax <= tmin, jnp.int32(1 << 24), key)
+
+
+def _chunked_traverse(org, direction, bvh, tmin, tmax, any_hit: bool):
+    """Coherence-sorted, chunked wrapper around ``_skip_traverse``."""
+    n = org.shape[0]
+    if n < 2 * TRAVERSAL_CHUNK:
+        return _skip_traverse(org, direction, bvh, tmin, tmax, any_hit)
+    pad = (-n) % TRAVERSAL_CHUNK
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        direction = jnp.concatenate(
+            [direction, jnp.ones((pad, 3), direction.dtype)]
+        )
+        tmin = jnp.concatenate([tmin, jnp.ones((pad,), tmin.dtype)])
+        tmax = jnp.concatenate([tmax, jnp.zeros((pad,), tmax.dtype)])
+    m = n + pad
+    key = _coherence_key(org, direction, tmin, tmax, bvh)
+    perm = jnp.argsort(key)
+    c = m // TRAVERSAL_CHUNK
+    so = org[perm].reshape(c, TRAVERSAL_CHUNK, 3)
+    sd = direction[perm].reshape(c, TRAVERSAL_CHUNK, 3)
+    stn = tmin[perm].reshape(c, TRAVERSAL_CHUNK)
+    stx = tmax[perm].reshape(c, TRAVERSAL_CHUNK)
+
+    def one(args):
+        o, dd, tn, tx = args
+        return _skip_traverse(o, dd, bvh, tn, tx, any_hit)
+
+    t, prim = jax.lax.map(one, (so, sd, stn, stx))
+    t = t.reshape(m)
+    prim = prim.reshape(m)
+    inv = jnp.zeros(m, jnp.int32).at[perm].set(jnp.arange(m, dtype=jnp.int32))
+    return t[inv][:n], prim[inv][:n]
+
+
 def intersect_bvh(org, direction, bvh, tris: TriSoA, tmin, tmax) -> Hit:
     """Closest hit over the skip-link BVH; barycentrics re-derived for the
     single winner per ray (same epilogue as the brute-force path)."""
-    t, prim = _skip_traverse(org, direction, bvh, tmin, tmax, any_hit=False)
+    t, prim = _chunked_traverse(org, direction, bvh, tmin, tmax, any_hit=False)
     valid = prim >= 0
     pi = jnp.maximum(prim, 0)
     p0, e1, e2 = tris.gather_rows(pi)
@@ -380,7 +455,7 @@ def intersect_bvh(org, direction, bvh, tris: TriSoA, tmin, tmax) -> Hit:
 def occluded_bvh(org, direction, bvh, tris: TriSoA, tmin, tmax) -> jnp.ndarray:
     """Any-hit visibility over the skip-link BVH (lanes park at the
     sentinel as soon as they find any hit)."""
-    _, prim = _skip_traverse(org, direction, bvh, tmin, tmax, any_hit=True)
+    _, prim = _chunked_traverse(org, direction, bvh, tmin, tmax, any_hit=True)
     return prim >= 0
 
 

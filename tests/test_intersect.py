@@ -169,3 +169,57 @@ class TestCornell:
         assert np.all(center)
         t = np.asarray(hit.t)[valid]
         assert t.min() > 5.0 and t.max() < 60.0
+
+
+class TestChunkedTraversal:
+    """The coherence-sorted chunked wrapper must be exact vs the plain
+    walk: non-divisible N, dead lanes, and the any-hit variant."""
+
+    def _setup(self, n_rays):
+        p0, p1, p2 = random_tris(3000, seed=7)
+        tris = TriSoA.build(p0, p1, p2)
+        bvh = flatten_skip_links(build_bvh(p0, p1, p2), p0, p1, p2)
+        bvh = {k: jnp.asarray(v) for k, v in bvh.items()}
+        rs = np.random.RandomState(11)
+        org = jnp.asarray(rs.randn(n_rays, 3) * 2.0, jnp.float32)
+        d = jnp.asarray(rs.randn(n_rays, 3), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return tris, bvh, org, d
+
+    def test_chunked_matches_plain_closest(self):
+        from nrc_tpu.ops.intersect import _skip_traverse
+
+        n = 5000  # > 2*TRAVERSAL_CHUNK and not a multiple of it
+        tris, bvh, org, d = self._setup(n)
+        tmin = jnp.zeros(n)
+        tmax = jnp.full((n,), RT_MAX)
+        # a band of dead lanes (terminated paths)
+        tmax = tmax.at[1000:1500].set(0.0)
+        hit = intersect_bvh(org, d, bvh, tris, tmin, tmax)
+        t_ref, p_ref = _skip_traverse(org, d, bvh, tmin, tmax, False)
+        np.testing.assert_array_equal(np.asarray(hit.prim), np.asarray(p_ref))
+        valid = np.asarray(p_ref) >= 0
+        np.testing.assert_allclose(
+            np.asarray(hit.t)[valid], np.asarray(t_ref)[valid], rtol=1e-6
+        )
+        assert not np.any(np.asarray(hit.prim)[1000:1500] >= 0)
+
+    def test_chunked_matches_plain_anyhit(self):
+        from nrc_tpu.ops.intersect import _skip_traverse
+
+        n = 4608
+        tris, bvh, org, d = self._setup(n)
+        tmin = jnp.zeros(n)
+        tmax = jnp.full((n,), 3.0)
+        occ = occluded_bvh(org, d, bvh, tris, tmin, tmax)
+        _, p_ref = _skip_traverse(org, d, bvh, tmin, tmax, True)
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(p_ref) >= 0)
+
+    def test_small_batch_uses_plain_path(self):
+        n = 256
+        tris, bvh, org, d = self._setup(n)
+        tmin = jnp.zeros(n)
+        tmax = jnp.full((n,), RT_MAX)
+        hit = intersect_bvh(org, d, bvh, tris, tmin, tmax)
+        ref = intersect_bruteforce(org, d, tris, tmin, tmax)
+        np.testing.assert_array_equal(np.asarray(hit.prim), np.asarray(ref.prim))
