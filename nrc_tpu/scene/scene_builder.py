@@ -105,6 +105,10 @@ def _make_mesh(decl) -> geo.Mesh:
             from .gltf_loader import load_gltf
 
             return load_gltf(decl.path)
+        if ext == ".stl":
+            from .stl_loader import load_stl
+
+            return load_stl(decl.path)
         from .obj_loader import load_obj  # lazy: optional subsystem
 
         return load_obj(decl.path)
