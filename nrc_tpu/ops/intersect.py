@@ -361,7 +361,9 @@ def _skip_traverse(org, direction, bvh, tmin, tmax, any_hit: bool):
 # finishes — measured 4.4x faster on an incoherent 65k-ray batch against a
 # 486k-tri BVH (427 -> 96 ms on v5e), bit-identical results. The chunk size
 # keeps per-step fixed overhead amortized; lax.map runs chunks sequentially.
-TRAVERSAL_CHUNK = 2048
+import os as _os
+
+TRAVERSAL_CHUNK = int(_os.environ.get("NRC_TRAVERSAL_CHUNK", "2048"))
 
 
 def _part_bits(v):

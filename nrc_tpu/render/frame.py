@@ -44,7 +44,7 @@ from ..config import (
 from ..models import network as N
 from ..utils import rng as R
 from ..scene.camera import generate_primary_rays
-from .integrator import QUERY_DIMS, trace_wavefront
+from .integrator import QUERY_DIMS, trace_wavefront, trace_wavefront_chunked
 from .scene_device import DeviceScene
 
 
@@ -190,7 +190,9 @@ def frame_step(
         pix, jitter, screen, camera.p, camera.u, camera.v, camera.w,
         lens=cfg.lens_shader,
     )
-    render_out = trace_wavefront(scene, org, dirn, seeds, cfg, train=False)
+    render_out = trace_wavefront_chunked(
+        scene, org, dirn, seeds, cfg, train=False
+    )
 
     # ---- training wavefront (one ray per tile, raygeneration.cu:123-136) -
     if cfg.train:
@@ -209,7 +211,7 @@ def frame_step(
             t_pix, t_jitter, screen, camera.p, camera.u, camera.v, camera.w,
             lens=cfg.lens_shader,
         )
-        train_out = trace_wavefront(
+        train_out = trace_wavefront_chunked(
             scene, t_org, t_dir, t_seeds, cfg, train=True, unbiased=unbiased
         )
     else:

@@ -976,3 +976,66 @@ def trace_wavefront(
         end_query=state.end_query,
         end_mask=state.end_mask,
     )
+
+
+# Bounce-loop cost on TPU is activity-independent: every masked-select op
+# processes every lane, and the while_loop runs until the LAST path in the
+# whole wavefront terminates — a 320x320 FULL-mode frame runs ~6 full-width
+# iterations even though the area-spread heuristic truncates most paths
+# into the cache within 1-2 bounces. Splitting the wavefront into chunks
+# (contiguous pixel bands: spatially coherent, no sort needed) and running
+# one bounce loop per chunk under lax.map lets each band exit at ITS
+# deepest path. Per-ray results match to fp32 rounding (no cross-ray ops
+# inside a wavefront; seeds are per-ray inputs; the mapped body compiles
+# separately so fusion/FMA choices differ at the last bit).
+import os as _os
+
+WAVEFRONT_CHUNK = int(_os.environ.get("NRC_WAVEFRONT_CHUNK", "8192"))
+
+
+def trace_wavefront_chunked(
+    scene: DeviceScene,
+    org: jnp.ndarray,
+    direction: jnp.ndarray,
+    seeds: jnp.ndarray,
+    cfg: FrameConfig,
+    train: bool,
+    unbiased: Optional[jnp.ndarray] = None,
+    chunk: int = WAVEFRONT_CHUNK,
+) -> WavefrontOut:
+    """Chunked wrapper around ``trace_wavefront`` (same signature + chunk)."""
+    n = org.shape[0]
+    if chunk <= 0 or n < 2 * chunk:
+        return trace_wavefront(
+            scene, org, direction, seeds, cfg, train, unbiased
+        )
+    pad = (-n) % chunk
+    if unbiased is None:
+        unbiased = jnp.zeros((n,), bool)
+    if pad:
+        # padded lanes trace a throwaway ray (up, unit seed); outputs sliced off
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        direction = jnp.concatenate(
+            [direction,
+             jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], direction.dtype), (pad, 1))]
+        )
+        seeds = jnp.concatenate([seeds, jnp.ones((pad,), seeds.dtype)])
+        unbiased = jnp.concatenate([unbiased, jnp.zeros((pad,), bool)])
+    c = (n + pad) // chunk
+
+    def one(args):
+        o, d, s, u = args
+        return trace_wavefront(scene, o, d, s, cfg, train, u)
+
+    out = jax.lax.map(
+        one,
+        (
+            org.reshape(c, chunk, 3),
+            direction.reshape(c, chunk, 3),
+            seeds.reshape(c, chunk),
+            unbiased.reshape(c, chunk),
+        ),
+    )
+    return jax.tree.map(
+        lambda x: x.reshape((c * chunk,) + x.shape[2:])[:n], out
+    )

@@ -163,3 +163,39 @@ class TestRenderQueries:
         pos = q[has_tp][:, :3]
         assert np.abs(pos).max() <= 0.1 + 1e-5
         assert np.abs(pos).max() > 0.0
+
+
+class TestChunkedWavefront:
+    """trace_wavefront_chunked must match the plain wavefront per ray (no
+    cross-ray ops exist inside a wavefront). Exact for integer fields; float
+    fields to fp32 tolerance (the mapped body compiles separately, so XLA's
+    fusion/FMA choices differ at the last bit)."""
+
+    def test_matches_unchunked_including_padding(self, cornell):
+        from nrc_tpu.render.integrator import trace_wavefront_chunked
+
+        scene, system, dev = cornell
+        org, d, seeds = gen_rays(scene, 36)  # 1296 rays: 2 chunks + pad
+        cfg = FrameConfig(
+            width=36, height=36, max_depth=5,
+            render_mode=RenderMode.FULL, train=True,
+            scene_epsilon=system.scene_epsilon,
+        )
+        unbiased = jnp.asarray(
+            (np.arange(org.shape[0]) % 16) == 0
+        )
+        ref = trace_wavefront(
+            dev, org, d, seeds, cfg, train=True, unbiased=unbiased
+        )
+        out = trace_wavefront_chunked(
+            dev, org, d, seeds, cfg, train=True, unbiased=unbiased,
+            chunk=512,
+        )
+        for name, a, b in zip(ref._fields, ref, out):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype.kind in "iub":
+                np.testing.assert_array_equal(a, b, err_msg=name)
+            else:
+                np.testing.assert_allclose(
+                    a, b, rtol=2e-4, atol=1e-6, err_msg=name
+                )
