@@ -197,6 +197,19 @@ def _present_loop(args, driver, r, spp, t0):
         while True:
             if viewer.apply_events(r.scene.camera):
                 r.restart_accumulation()
+            for act in viewer.drain_actions():
+                prefix = args.output or r.system.prefix_screenshot or "frame"
+                tag = f"{prefix}_{int(r.iteration)}spp"
+                if act == "screenshot_png":
+                    print(r.screenshot(tag, tonemap=True), flush=True)
+                elif act == "screenshot_hdr":
+                    print(r.screenshot(tag, tonemap=False), flush=True)
+                elif act == "save_system":
+                    out = args.save_system or (prefix + "_system.txt")
+                    print(r.save_system_description(out), flush=True)
+                elif act == "reset_cache":
+                    r.reset_cache()
+                    r.restart_accumulation()
             if r.iteration < spp:
                 stats = driver.render_frame()
                 i += 1

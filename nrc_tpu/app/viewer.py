@@ -31,7 +31,12 @@ img { image-rendering: pixelated; margin-top: 8px; cursor: grab; }
 #bar { padding: 6px; }
 </style></head><body><div id="wrap">
 <div id="bar">drag: orbit &middot; shift-drag: pan &middot; wheel: dolly
-&middot; ctrl-wheel: zoom &middot; <span id="stats"></span></div>
+&middot; ctrl-wheel: zoom &middot;
+<button onclick="fetch('/action?op=screenshot_png')">png [P]</button>
+<button onclick="fetch('/action?op=screenshot_hdr')">hdr [H]</button>
+<button onclick="fetch('/action?op=save_system')">save system [S]</button>
+<button onclick="fetch('/action?op=reset_cache')">reset cache</button>
+&middot; <span id="stats"></span></div>
 <img id="frame" src="/frame.png" draggable="false">
 <svg id="lossplot" width="512" height="48" style="margin-top:6px"></svg>
 </div><script>
@@ -52,6 +57,13 @@ img.addEventListener('wheel', e => {
   const op = e.ctrlKey ? 'zoom' : 'dolly';
   fetch(`/control?op=${op}&d=${e.deltaY > 0 ? -1 : 1}`);
 }, { passive: false });
+// reference key handlers (Application::guiEventHandler): P/H screenshots,
+// S save system description
+window.addEventListener('keydown', e => {
+  const map = { p: 'screenshot_png', h: 'screenshot_hdr', s: 'save_system' };
+  const op = map[e.key.toLowerCase()];
+  if (op) fetch(`/action?op=${op}`);
+});
 const plot = document.getElementById('lossplot');
 setInterval(() => {
   img.src = '/frame.png?t=' + Date.now();
@@ -84,6 +96,7 @@ class Viewer:
         self._stats = {"iteration": 0, "fps": 0.0, "loss": 0.0}
         self._lock = threading.Lock()
         self.events: "queue.Queue[tuple]" = queue.Queue()
+        self.actions: "queue.Queue[str]" = queue.Queue()
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -111,6 +124,17 @@ class Viewer:
                     )
                     if op in ("orbit", "pan", "dolly", "zoom"):
                         viewer.events.put((op, args))
+                    body, ctype = b"ok", "text/plain"
+                elif url.path == "/action":
+                    # key-handler parity (Application.cpp:572-648): P/H
+                    # screenshots, S save-system; plus the Stats-window
+                    # cache-reset button (Raytracer::resetRadianceCache)
+                    op = parse_qs(url.query).get("op", [""])[0]
+                    if op in (
+                        "screenshot_png", "screenshot_hdr",
+                        "save_system", "reset_cache",
+                    ):
+                        viewer.actions.put(op)
                     body, ctype = b"ok", "text/plain"
                 else:
                     self.send_response(404)
@@ -164,6 +188,16 @@ class Viewer:
                 camera.zoom(-d * 2.0)
             moved = True
         return moved
+
+    def drain_actions(self) -> list:
+        """Queued one-shot actions (screenshots / save-system / cache reset)."""
+        out = []
+        while True:
+            try:
+                out.append(self.actions.get_nowait())
+            except queue.Empty:
+                break
+        return out
 
     def close(self) -> None:
         self._server.shutdown()

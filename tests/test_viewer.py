@@ -64,3 +64,23 @@ def test_camera_verbs():
     cam.focus((2.0, 0.0, 1.0))
     assert np.allclose(cam.center, (2.0, 0.0, 1.0))
     assert cam.distance > 0.0
+
+
+def test_action_endpoint():
+    """P/H/S key-handler parity + cache reset route through /action."""
+    from nrc_tpu.app.viewer import Viewer
+
+    v = Viewer(port=0)
+    try:
+        for op in ("screenshot_png", "screenshot_hdr", "save_system",
+                   "reset_cache", "bogus_op"):
+            _get(v.url + f"action?op={op}")
+        acts = v.drain_actions()
+        assert acts == ["screenshot_png", "screenshot_hdr", "save_system",
+                        "reset_cache"]  # bogus filtered
+        assert v.drain_actions() == []
+        # page advertises the buttons/keys
+        page = _get(v.url)
+        assert b"screenshot_png" in page and b"keydown" in page
+    finally:
+        v.close()
