@@ -266,3 +266,81 @@ EXPORT int32_t bvh_build_binned_sah(
     free(B.centroid);
     return B.num_nodes;
 }
+
+/* Pre-order skip-link flattening walk (one child-order variant).
+ * Mirrors ops/bvh.py::flatten_skip_links_rows::emit_order: collapsed
+ * subtrees (is_leaf) emit as single nodes; left_first picks the child
+ * visited first (near-child-first per ray-direction octant).
+ * Outputs: perm[n] (new index -> old node), miss[n] (new index ->
+ * block-local miss target, sentinel = n). Returns emitted count. */
+EXPORT int32_t bvh_flatten_preorder(
+    const int32_t *left, const int32_t *right, const int32_t *nsize,
+    const uint8_t *is_leaf, const uint8_t *left_first,
+    int32_t n_old, int32_t *perm, int32_t *miss)
+{
+    if (n_old <= 0) return 0;
+    int32_t *stk = (int32_t *)malloc(sizeof(int32_t) * 2 * (size_t)n_old);
+    if (!stk) return -1;
+    int32_t sp = 0, idx = 0;
+    const int32_t sentinel = nsize[0];
+    stk[sp * 2] = 0;
+    stk[sp * 2 + 1] = sentinel;
+    sp = 1;
+    while (sp > 0) {
+        sp--;
+        int32_t node = stk[sp * 2];
+        int32_t miss_t = stk[sp * 2 + 1];
+        int32_t new_i = idx++;
+        perm[new_i] = node;
+        miss[new_i] = miss_t;
+        if (!is_leaf[node]) {
+            int32_t l = left[node], r = right[node];
+            int32_t a = left_first[node] ? l : r;
+            int32_t b = left_first[node] ? r : l;
+            /* second child starts after the first child's subtree */
+            stk[sp * 2] = b;
+            stk[sp * 2 + 1] = miss_t;
+            sp++;
+            stk[sp * 2] = a;
+            stk[sp * 2 + 1] = new_i + 1 + nsize[a];
+            sp++;
+        }
+    }
+    free(stk);
+    return idx;
+}
+
+/* Post-order subtree sizes for collapsed flattening:
+ * prims[v] = primitive count of v's subtree; nsize[v] = emitted node count
+ * when subtrees with prims <= leaf_size collapse to one leaf.
+ * Iterative post-order with an explicit stack (left<0 marks builder leaf). */
+EXPORT void bvh_collapse_sizes(
+    const int32_t *left, const int32_t *right, const int32_t *count,
+    int32_t n_old, int32_t leaf_size,
+    int32_t *prims, int32_t *nsize)
+{
+    if (n_old <= 0) return;
+    /* entries: node | (done << 31) */
+    int32_t *stk = (int32_t *)malloc(sizeof(int32_t) * 2 * (size_t)n_old);
+    if (!stk) return;
+    int32_t sp = 0;
+    stk[sp++] = 0;
+    while (sp > 0) {
+        int32_t e = stk[--sp];
+        int32_t node = e & 0x7FFFFFFF;
+        if (e < 0) {  /* done: children resolved */
+            int32_t p = prims[left[node]] + prims[right[node]];
+            prims[node] = p;
+            nsize[node] = p <= leaf_size
+                ? 1 : 1 + nsize[left[node]] + nsize[right[node]];
+        } else if (left[node] < 0) {
+            prims[node] = count[node];
+            nsize[node] = 1;
+        } else {
+            stk[sp++] = node | (int32_t)0x80000000;
+            stk[sp++] = left[node];
+            stk[sp++] = right[node];
+        }
+    }
+    free(stk);
+}

@@ -134,24 +134,39 @@ def flatten_skip_links_rows(
     )
 
     # post-order: primitive count + collapsed node count per subtree
-    prims = np.zeros(n_old, np.int64)
-    nsize = np.zeros(n_old, np.int64)
-    st = [(0, False)]
-    while st:
-        v, done = st.pop()
-        if done:
-            prims[v] = prims[left[v]] + prims[right[v]]
-            nsize[v] = (
-                1 if prims[v] <= leaf_size
-                else 1 + nsize[left[v]] + nsize[right[v]]
-            )
-        elif left[v] < 0:
-            prims[v] = count[v]
-            nsize[v] = 1
-        else:
-            st.append((v, True))
-            st.append((left[v], False))
-            st.append((right[v], False))
+    from ..native import get_lib
+
+    lib = get_lib()
+    left32 = np.ascontiguousarray(left, np.int32)
+    right32 = np.ascontiguousarray(right, np.int32)
+    count32 = np.ascontiguousarray(count, np.int32)
+    if lib is not None:
+        prims = np.zeros(n_old, np.int32)
+        nsize = np.zeros(n_old, np.int32)
+        lib.bvh_collapse_sizes(
+            left32.ctypes.data, right32.ctypes.data, count32.ctypes.data,
+            np.int32(n_old), np.int32(leaf_size),
+            prims.ctypes.data, nsize.ctypes.data,
+        )
+    else:
+        prims = np.zeros(n_old, np.int64)
+        nsize = np.zeros(n_old, np.int64)
+        st = [(0, False)]
+        while st:
+            v, done = st.pop()
+            if done:
+                prims[v] = prims[left[v]] + prims[right[v]]
+                nsize[v] = (
+                    1 if prims[v] <= leaf_size
+                    else 1 + nsize[left[v]] + nsize[right[v]]
+                )
+            elif left[v] < 0:
+                prims[v] = count[v]
+                nsize[v] = 1
+            else:
+                st.append((v, True))
+                st.append((left[v], False))
+                st.append((right[v], False))
 
     def collect_prims(node):
         out, st2 = [], [node]
@@ -165,9 +180,6 @@ def flatten_skip_links_rows(
         return out
 
     n = int(nsize[0])
-    leaf_rows = []
-    leaf_id_rows = []
-    leaf_row_of = {}  # old node -> shared leaf row id
     centers = (lo + hi) * 0.5
 
     # precompute per-inner-node ordering inputs, vectorized: the dominant
@@ -178,37 +190,73 @@ def flatten_skip_links_rows(
     sep = centers[safe_l] - centers[safe_r]
     dom_axis = np.argmax(np.abs(sep), axis=-1)
     left_is_lower = sep[np.arange(n_old), dom_axis] <= 0.0
-    # cheap Python containers for the hot sequential walk
-    left_l = left.tolist()
-    right_l = right.tolist()
-    nsize_l = nsize.tolist()
-    leaf_l = is_collapsed_leaf.tolist()
-    dom_l = dom_axis.tolist()
-    lower_l = left_is_lower.tolist()
 
-    def leaf_row_id(node: int) -> int:
-        rid = leaf_row_of.get(node)
-        if rid is None:
-            prim = collect_prims(node)
-            rows = np.zeros((leaf_size, row_w), np.float32)
-            ids = np.full(leaf_size, -1, np.int32)
-            rows[: len(prim)] = prim_rows[prim]
-            ids[: len(prim)] = prim
-            rid = leaf_row_of[node] = len(leaf_id_rows)
-            leaf_rows.append(
-                np.concatenate([rows.reshape(-1), ids.view(np.float32)])
+    # collapsed-leaf ROOTS (a leaf in the emitted tree): subtree fits the
+    # leaf and the parent's doesn't. Their packed rows are shared across
+    # all octant blocks; leaf_row_map: old node -> row id (-1 = inner).
+    parent_fits = np.zeros(n_old, bool)
+    inner = left >= 0
+    parent_fits[left[inner]] = is_collapsed_leaf[np.nonzero(inner)[0]]
+    parent_fits[right[inner]] = is_collapsed_leaf[np.nonzero(inner)[0]]
+    leaf_root = is_collapsed_leaf & ~parent_fits
+    leaf_nodes = np.nonzero(leaf_root)[0]
+    leaf_row_map = np.full(n_old, -1, np.int32)
+    leaf_row_map[leaf_nodes] = np.arange(len(leaf_nodes), dtype=np.int32)
+
+    # pack leaf rows: builder leaves vectorized (one fancy-indexed pass —
+    # the common case when leaf_size == builder max_leaf); collapsed
+    # multi-node subtrees (rare) fall back to the per-node descent
+    n_leaves = len(leaf_nodes)
+    ids_mat = np.full((n_leaves, leaf_size), -1, np.int32)
+    simple = left[leaf_nodes] < 0
+    sn = leaf_nodes[simple]
+    if len(sn):
+        k = np.arange(leaf_size)[None, :]
+        idx = start[sn][:, None] + np.minimum(k, count[sn][:, None] - 1)
+        gathered = order[idx].astype(np.int32)
+        ids_mat[simple] = np.where(k < count[sn][:, None], gathered, -1)
+    for row_i in np.nonzero(~simple)[0]:
+        prim = collect_prims(int(leaf_nodes[row_i]))
+        ids_mat[row_i, : len(prim)] = prim
+    rows_mat = np.where(
+        (ids_mat >= 0)[:, :, None],
+        prim_rows[np.maximum(ids_mat, 0)],
+        np.float32(0.0),
+    ).astype(np.float32)
+    leaf_pack = np.concatenate(
+        [rows_mat.reshape(n_leaves, leaf_size * row_w),
+         ids_mat.view(np.float32)],
+        axis=1,
+    ) if n_leaves else np.zeros((1, leaf_size * (row_w + 1)), np.float32)
+    leaf_ids = (
+        ids_mat if n_leaves else np.full((1, leaf_size), -1, np.int32)
+    )
+
+    nsize32 = np.ascontiguousarray(nsize, np.int32)
+    is_leaf_u8 = np.ascontiguousarray(is_collapsed_leaf, np.uint8)
+
+    def preorder_walk(first_low: tuple):
+        """(perm, miss) for one child-order variant: native C walk, with a
+        pure-Python fallback."""
+        l_first = np.ascontiguousarray(
+            left_is_lower == np.asarray(first_low, bool)[dom_axis], np.uint8
+        )
+        if lib is not None:
+            perm = np.empty(n, np.int32)
+            miss = np.empty(n, np.int32)
+            got = lib.bvh_flatten_preorder(
+                left32.ctypes.data, right32.ctypes.data, nsize32.ctypes.data,
+                is_leaf_u8.ctypes.data, l_first.ctypes.data,
+                np.int32(n_old),
+                perm.ctypes.data, miss.ctypes.data,
             )
-            leaf_id_rows.append(ids)
-        return rid
-
-    def emit_order(first_low: tuple, base: int) -> np.ndarray:
-        """One pre-order block. ``first_low[axis]``: visit the
-        lower-centroid child first (True) or second (False) along axis.
-        The sequential pre-order walk runs on plain Python ints; rows are
-        assembled afterwards with one fancy-indexed pass."""
-        perm = [0] * n      # new index -> old node
-        miss = [0] * n      # new index -> block-local miss target
-        lrow = [-1] * n     # new index -> shared leaf row (or -1 inner)
+            assert got == n, (got, n)
+            return perm, miss
+        perm = [0] * n
+        miss = [0] * n
+        left_l, right_l = left.tolist(), right.tolist()
+        nsize_l, leaf_l = nsize.tolist(), is_collapsed_leaf.tolist()
+        lf = l_first.tolist()
         idx = 0
         stack = [(0, n)]  # (old node, miss target in block-local numbering)
         while stack:
@@ -217,25 +265,23 @@ def flatten_skip_links_rows(
             idx += 1
             perm[new] = node
             miss[new] = miss_t
-            if leaf_l[node]:  # (collapsed) leaf
-                lrow[new] = leaf_row_id(node)
-            else:
+            if not leaf_l[node]:
                 l, r = left_l[node], right_l[node]
-                l_first = lower_l[node] == first_low[dom_l[node]]
-                a, b = (l, r) if l_first else (r, l)
+                a, b = (l, r) if lf[node] else (r, l)
                 # pre-order: first child = new+1; second after its subtree
                 stack.append((b, miss_t))
                 stack.append((a, new + 1 + nsize_l[a]))
         assert idx == n, (idx, n)
+        return np.asarray(perm, np.int32), np.asarray(miss, np.int32)
 
+    def emit_order(first_low: tuple, base: int) -> np.ndarray:
+        perm, miss = preorder_walk(first_low)
         block = np.empty((n + 1, 8), np.float32)
-        pa = np.asarray(perm, np.int64)
+        pa = perm.astype(np.int64)
         block[:n, 0:3] = lo[pa]
         block[:n, 3:6] = hi[pa]
-        block[:n, 6] = (np.asarray(miss, np.int32) + np.int32(base)).view(
-            np.float32
-        )
-        block[:n, 7] = np.asarray(lrow, np.int32).view(np.float32)
+        block[:n, 6] = (miss + np.int32(base)).view(np.float32)
+        block[:n, 7] = leaf_row_map[pa].view(np.float32)
         # sentinel row: inverted AABB (never hit), self-missing
         block[n, 0:3] = np.float32(3.0e38)
         block[n, 3:6] = np.float32(-3.0e38)
@@ -256,16 +302,6 @@ def flatten_skip_links_rows(
     else:
         node_box = emit_order((True, True, True), base=0)[None]
 
-    leaf_pack = (
-        np.stack(leaf_rows)
-        if leaf_rows
-        else np.zeros((1, leaf_size * (row_w + 1)), np.float32)
-    )
-    leaf_ids = (
-        np.stack(leaf_id_rows)
-        if leaf_id_rows
-        else np.full((1, leaf_size), -1, np.int32)
-    )
     return {
         "node_box": node_box,
         "leaf_pack": leaf_pack,

@@ -223,3 +223,28 @@ class TestChunkedTraversal:
         hit = intersect_bvh(org, d, bvh, tris, tmin, tmax)
         ref = intersect_bruteforce(org, d, tris, tmin, tmax)
         np.testing.assert_array_equal(np.asarray(hit.prim), np.asarray(ref.prim))
+
+
+def test_native_flatten_matches_python():
+    """The C pre-order walk + collapse sizes must reproduce the Python
+    fallback bit for bit (compare bitcast columns as i32: NaN patterns)."""
+    import nrc_tpu.native as N
+    from nrc_tpu.ops import bvh as B
+
+    if N.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    p0, p1, p2 = random_tris(500, seed=5)
+    b = build_bvh(p0, p1, p2)
+    rows = np.concatenate([p0, p1 - p0, p2 - p0], -1).astype(np.float32)
+    fc = B.flatten_skip_links_rows(b, rows, 4)
+    lib_save, failed_save = N._lib, N._failed
+    try:
+        N._lib, N._failed = None, True
+        fp = B.flatten_skip_links_rows(b, rows, 4)
+    finally:
+        N._lib, N._failed = lib_save, failed_save
+    for k in fc:
+        a, c = fc[k], fp[k]
+        if a.dtype == np.float32:
+            a, c = a.view(np.int32), c.view(np.int32)
+        np.testing.assert_array_equal(a, c, err_msg=k)
