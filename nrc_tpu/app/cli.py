@@ -147,7 +147,21 @@ def main(argv=None) -> int:
             _render_loop(args, driver, r, spp, stats_f, t0)
     jax.block_until_ready(r.image)
     dt = time.perf_counter() - t0
-    print(f"{spp} spp in {dt:.2f}s -> {spp / dt:.2f} fps")
+    # throughput report (the reference prints only fps,
+    # Application.cpp:522-527; Mrays/s + cache queries/s added on top):
+    # closest + shadow traversals per bounce segment for render + train rays
+    segs = r.cfg.max_depth + 1
+    n_tiles = r.cfg.num_tiles if r.cfg.train else 0
+    rays = (r.cfg.num_pixels + n_tiles) * segs * 2 * spp
+    from ..config import RenderMode as _RM
+
+    uses_cache = r.cfg.render_mode != _RM.NO_CACHE
+    n_queries = ((r.cfg.num_pixels if uses_cache else 0) + n_tiles) * spp
+    print(
+        f"{spp} spp in {dt:.2f}s -> {spp / dt:.2f} fps, "
+        f"{rays / dt / 1e6:.2f} Mrays/s, "
+        f"{n_queries / dt / 1e6:.2f} M cache queries/s"
+    )
     driver.flush_stats() if hasattr(driver, "flush_stats") else None
     if r.loss_history:
         h = list(r.loss_history)
