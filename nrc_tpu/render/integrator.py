@@ -1001,9 +1001,11 @@ def trace_wavefront_chunked(
     cfg: FrameConfig,
     train: bool,
     unbiased: Optional[jnp.ndarray] = None,
-    chunk: int = WAVEFRONT_CHUNK,
+    chunk: Optional[int] = None,
 ) -> WavefrontOut:
     """Chunked wrapper around ``trace_wavefront`` (same signature + chunk)."""
+    if chunk is None:
+        chunk = WAVEFRONT_CHUNK  # late-bound: patchable in tests
     n = org.shape[0]
     if chunk <= 0 or n < 2 * chunk:
         return trace_wavefront(

@@ -190,3 +190,23 @@ class TestShardedRender:
         np.testing.assert_array_equal(
             np.asarray(w), np.asarray(jax.device_get(w))
         )
+
+
+class TestShardedChunkedWavefront:
+    def test_chunked_bounce_loop_under_shard_map(self, cornell_small, monkeypatch):
+        """The per-band bounce while_loop (lax.map) must compile and run
+        inside the shard_map frame program (divergent per-shard trip counts
+        are safe: the wavefront body has no collectives)."""
+        from nrc_tpu.render import integrator
+
+        monkeypatch.setattr(integrator, "WAVEFRONT_CHUNK", 128)
+        scene, system = cornell_small  # 64x64/8 shards = 512 rays = 4 chunks
+        r = Renderer(scene, system, render_mode=RenderMode.FULL, train=True,
+                     adaptive_tiles=False)
+        pr = ParallelRenderer(r, make_mesh())
+        stats = None
+        for _ in range(2):
+            stats = pr.render_frame()
+        assert np.isfinite(float(stats.loss))
+        img = pr.image_hdr()
+        assert np.all(np.isfinite(img))
