@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--unbiased-ratio", type=float, default=None,
                    help="fraction of training rays traced unbiased "
                         "(default 1/16)")
+    p.add_argument("--reflectance-factoring", action="store_true",
+                   help="train the cache on radiance/reflectance and scale "
+                        "predictions by the query albedo (the paper's "
+                        "reflectance factorization; USE_REFLECTANCE_FACTORING)")
     p.add_argument("--area-spread", type=float, default=None,
                    help="area-spread truncation constant c (default 0.01)")
     p.add_argument("--devices", type=int, default=1,
@@ -97,6 +101,7 @@ def main(argv=None) -> int:
     r = Renderer(
         scene, system, net_cfg=net_cfg, render_mode=render_mode,
         train=not args.no_train,
+        reflectance_factoring=args.reflectance_factoring,
     )
     if args.lr or args.unbiased_ratio or args.area_spread:
         r.set_hyper_params(

@@ -205,6 +205,12 @@ class FrameConfig:
     area_spread_sqrt: float = 0.1
     # fraction of training rays traced unbiased (TRAIN_UNBIASED_RATIO)
     train_unbiased_ratio: float = 1.0 / 16.0
+    # Reflectance factorization (the paper's albedo factoring; the
+    # reference's USE_REFLECTANCE_FACTORING compile switch, config.h:115-118,
+    # shipped default-off with an inconsistent in-trace path): the network
+    # learns radiance / (diffuse+specular albedo) and predictions are
+    # multiplied back by the query's reflectance at every consumption site.
+    reflectance_factoring: bool = False
     # Static set of BSDF archetypes present in the scene (None = all):
     # specializes the compiled lobe families, the analog of the reference
     # JIT-compiling only declared MDL materials (Raytracer.cpp:1968-2163).

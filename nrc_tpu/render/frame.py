@@ -90,6 +90,16 @@ def _tile_origins(cfg: FrameConfig, tile_rows: Optional[int] = None, row_offset=
     )
 
 
+def query_reflectance(q):
+    """diffuse + specular albedo of a radiance query
+    (``RadianceQuery::reflectance``, ``neural_radiance_caching.h:117``)."""
+    return q[..., 9:12] + q[..., 12:15]
+
+
+def _safe_div(a, b):
+    return a / (b + 1e-6)  # DENOMINATOR_EPSILON, config.h:55
+
+
 def propagate_radiance(rec_target, rec_ltp, rec_count, end_radiance, end_mask):
     """Self-training radiance propagation (``propagate_train_radiance``,
     ``nrc_helpers.cu:131-224``).
@@ -235,6 +245,11 @@ def frame_step(
     if queries:
         all_q = jnp.concatenate(queries, axis=0)
         all_r = N.infer(net_state, all_q, net_cfg)
+        if cfg.reflectance_factoring:
+            # the cache predicts radiance/reflectance; scale every
+            # consumption (render end, suffix end, cache-vis) by its own
+            # query's reflectance (nrc_helpers.cu:68-69,95-96,156-159)
+            all_r = all_r * query_reflectance(all_q)
     ofs = 0
     cache_render = jnp.zeros((n_pixels, 3))
     if need_render_cache:
@@ -298,6 +313,12 @@ def frame_step(
                 loss=jnp.sum(targets) * 0.0,
                 num_train_records=jnp.sum(train_out.rec_count),
             )
+        if cfg.reflectance_factoring:
+            # propagation ran in radiance units; train on
+            # radiance/reflectance per record (the consistent form of the
+            # reference's convert-accumulate-convert in
+            # propagate_train_radiance, nrc_helpers.cu:187-207)
+            targets = _safe_div(targets, query_reflectance(train_out.rec_query))
         shuffle_key = jax.random.fold_in(
             jax.random.PRNGKey(0x5EED), total_subframe
         )

@@ -49,6 +49,7 @@ class Renderer:
         position_scale: Optional[float] = None,
         seed: int = 0,
         use_fused_mlp: bool = False,
+        reflectance_factoring: bool = False,
     ):
         self.scene = scene
         self.system = system
@@ -97,6 +98,7 @@ class Renderer:
                 np.unique(scene.materials.archetype).tolist()
                 + np.unique(scene.materials.archetype2).tolist()
             ),
+            reflectance_factoring=reflectance_factoring,
         )
 
         # Fused Pallas MLP (tiny-cuda-nn equivalent): 23% faster than the XLA

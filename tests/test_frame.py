@@ -174,3 +174,35 @@ class TestHyperParams:
         # renders with the new static config (fresh compile keyed on cfg)
         stats = r.render_frame()
         assert stats is not None
+
+
+class TestReflectanceFactoring:
+    def test_converges_with_factoring(self, cornell_small):
+        """With reflectance factoring the cache learns radiance/albedo and
+        predictions are scaled back: loss decreases and the image stays
+        finite and lit (USE_REFLECTANCE_FACTORING semantics)."""
+        scene, system = cornell_small
+        r = Renderer(scene, system, render_mode=RenderMode.FULL, train=True,
+                     adaptive_tiles=False, reflectance_factoring=True)
+        losses = []
+        for _ in range(40):
+            stats = r.render_frame()
+            losses.append(float(stats.loss))
+        assert int(stats.num_train_records) > 0
+        early = np.mean(losses[:2])
+        late = np.mean(losses[-10:])
+        assert np.isfinite(losses).all()
+        assert late < early * 0.9, f"loss should decrease: {early} -> {late}"
+        img = r.image_hdr()
+        assert np.all(np.isfinite(img))
+        assert img.mean() > 0.02
+
+    def test_query_reflectance_slice(self):
+        from nrc_tpu.render.frame import query_reflectance
+
+        q = np.zeros((2, 15), np.float32)
+        q[0, 9:12] = (0.2, 0.3, 0.4)   # diffuse albedo
+        q[0, 12:15] = (0.1, 0.1, 0.1)  # specular albedo
+        np.testing.assert_allclose(
+            query_reflectance(q)[0], [0.3, 0.4, 0.5], atol=1e-7
+        )
