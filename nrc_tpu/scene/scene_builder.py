@@ -109,6 +109,10 @@ def _make_mesh(decl) -> geo.Mesh:
             from .stl_loader import load_stl
 
             return load_stl(decl.path)
+        if ext == ".fbx":
+            from .fbx_loader import load_fbx
+
+            return load_fbx(decl.path)
         from .obj_loader import load_obj  # lazy: optional subsystem
 
         return load_obj(decl.path)
