@@ -113,6 +113,10 @@ def _make_mesh(decl) -> geo.Mesh:
             from .fbx_loader import load_fbx
 
             return load_fbx(decl.path)
+        if ext == ".dae":
+            from .dae_loader import load_dae
+
+            return load_dae(decl.path)
         from .obj_loader import load_obj  # lazy: optional subsystem
 
         return load_obj(decl.path)
