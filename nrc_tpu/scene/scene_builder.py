@@ -117,6 +117,10 @@ def _make_mesh(decl) -> geo.Mesh:
             from .dae_loader import load_dae
 
             return load_dae(decl.path)
+        if ext == ".3ds":
+            from .tds_loader import load_3ds
+
+            return load_3ds(decl.path)
         from .obj_loader import load_obj  # lazy: optional subsystem
 
         return load_obj(decl.path)
