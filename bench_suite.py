@@ -1,0 +1,163 @@
+"""Extended benchmark suite: one JSON line per config (not the driver
+headline — that stays ``bench.py``). Mirrors BASELINE.md's target list:
+Cornell frequency-encoding frame loop, hash-grid frame loop, the big-BVH
+scene, the hair scene, and the standalone cache train/infer throughput.
+
+Usage: python bench_suite.py [--spp N] [--only cornell,hash,...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _bench_frames(r, spp):
+    import jax.numpy as jnp
+
+    for _ in range(3):
+        r.render_frame()
+    float(jnp.ravel(r.image)[0])
+    t0 = time.perf_counter()
+    for _ in range(spp):
+        r.render_frame()
+    float(jnp.ravel(r.image)[0])
+    float(jnp.ravel(r.net_state.params.w_in)[0])
+    return spp / (time.perf_counter() - t0)
+
+
+def _frame_case(name, sysf, scnf, spp, res=None, tile=(4, 4), encoding=None):
+    from nrc_tpu.config import RenderMode
+    from nrc_tpu.render.renderer import Renderer
+    from nrc_tpu.scene.scene_builder import load_scene
+
+    scene, system = load_scene(sysf, scnf)
+    if res is not None:
+        system.resolution = res
+        scene.camera.aspect = res[0] / res[1]
+    system.tile_size = tile
+    kw = {}
+    if encoding is not None:
+        from nrc_tpu.config import InputEncoding, NetworkConfig
+
+        kw["net_cfg"] = NetworkConfig(
+            encoding=InputEncoding.HASH
+            if encoding == "hash" else InputEncoding.FREQUENCY
+        )
+    r = Renderer(scene, system, render_mode=RenderMode.FULL, train=True,
+                 adaptive_tiles=False, **kw)
+    fps = _bench_frames(r, spp)
+    segs = r.cfg.max_depth + 1
+    mrays = (r.cfg.num_pixels + r.cfg.num_tiles) * segs * 2 * fps / 1e6
+    print(json.dumps({
+        "case": name, "metric": "mrays_per_s", "value": round(mrays, 3),
+        "fps": round(fps, 3), "unit": "Mrays/s",
+    }), flush=True)
+
+
+def case_cornell(spp):
+    _frame_case(
+        "cornell_320_freq",
+        "/root/reference/data/system_mdl_cornell.txt",
+        "/root/reference/data/scene_mdl_cornell.txt", spp,
+    )
+
+
+def case_hash(spp):
+    _frame_case(
+        "cornell_320_hash",
+        "/root/reference/data/system_mdl_cornell.txt",
+        "/root/reference/data/scene_mdl_cornell.txt", spp, encoding="hash",
+    )
+
+
+def case_vmaterials(spp):
+    _frame_case(
+        "vmaterials_486k_96",
+        "/root/reference/data/system_mdl_vMaterials.txt",
+        "/root/reference/data/scene_mdl_vMaterials.txt", max(spp // 4, 4),
+        res=(96, 96), tile=(2, 2),
+    )
+
+
+def case_hair(spp):
+    _frame_case(
+        "hair_96",
+        "/root/reference/data/system_mdl_hair.txt",
+        "/root/reference/data/scene_mdl_hair.txt", max(spp // 4, 4),
+        res=(96, 96), tile=(2, 2),
+    )
+
+
+def case_mlp(spp):
+    """Standalone cache train+infer samples/s (tcnn-equivalent measure)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nrc_tpu.config import NetworkConfig
+    from nrc_tpu.models import network as N
+
+    cfg = NetworkConfig()
+    ns = N.init_network(jax.random.PRNGKey(0), cfg)
+    B = 16384
+    q = jax.random.uniform(jax.random.PRNGKey(1), (B, 15))
+    t = jax.random.uniform(jax.random.PRNGKey(2), (B, 3))
+
+    step = jax.jit(lambda ns, q, t: N.train_step(ns, q, t, cfg))
+    ns2, _ = step(ns, q, t)
+    float(jnp.ravel(ns2.params.w_in)[0])
+    t0 = time.perf_counter()
+    R = 50
+    for _ in range(R):
+        ns2, _ = step(ns2, q, t)
+    float(jnp.ravel(ns2.params.w_in)[0])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "case": "mlp_train_16384", "metric": "samples_per_s",
+        "value": round(R * B / dt / 1e6, 2), "unit": "Msamples/s",
+    }), flush=True)
+
+    inf = jax.jit(lambda ns, q: N.infer(ns, q, cfg))
+    r = inf(ns2, q)
+    float(r[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(R):
+        r = inf(ns2, q)
+    float(r[0, 0])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "case": "mlp_infer_16384", "metric": "samples_per_s",
+        "value": round(R * B / dt / 1e6, 2), "unit": "Msamples/s",
+    }), flush=True)
+
+
+CASES = {
+    "cornell": case_cornell,
+    "hash": case_hash,
+    "vmaterials": case_vmaterials,
+    "hair": case_hair,
+    "mlp": case_mlp,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=32)
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    names = args.only.split(",") if args.only else list(CASES)
+    for n in names:
+        log(f"=== {n} ===")
+        try:
+            CASES[n](args.spp)
+        except Exception as e:  # keep going; report the failure as data
+            print(json.dumps({"case": n, "error": repr(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
