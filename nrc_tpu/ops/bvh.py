@@ -89,8 +89,11 @@ def flatten_skip_links(
     inlining the block into every node row, which wastes its bytes on
     inner-node visits):
 
-    - ``node_box`` [n+1, 8]: lo | hi | bitcast(miss) | bitcast(leaf_row)
-      (row n = sentinel: inverted AABB, self-missing; leaf_row -1 = inner)
+    - ``node_box`` [octants, n+1, 8]: lo | hi | bitcast(miss) |
+      bitcast(leaf_row); 8 per-direction-octant pre-order variants by
+      default (leaf_row -1 = inner; row n of each block = that block's
+      sentinel: inverted AABB, self-missing). See
+      ``flatten_skip_links_rows`` for the ordering contract.
     - ``leaf_pack`` [L, leaf_size*10]: leaf_size x (p0|e1|e2) triangle rows
       followed by leaf_size bitcast prim ids (-1 padding)
     - ``leaf_ids`` [L, leaf_size] i32 (host-side reference)

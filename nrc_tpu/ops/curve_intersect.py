@@ -242,39 +242,15 @@ def _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
 
 
 def _chunked_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
-    """Coherence-sorted chunked wrapper (see ops/intersect.py): each chunk's
-    lockstep walk exits when its own slowest ray finishes."""
-    from .intersect import TRAVERSAL_CHUNK, _coherence_key
+    """Coherence-sorted chunked wrapper (shared skeleton in
+    ops/intersect.py::chunked_over_rays): each chunk's lockstep walk exits
+    when its own slowest ray finishes."""
+    from .intersect import chunked_over_rays
 
-    n = org.shape[0]
-    if n < 2 * TRAVERSAL_CHUNK:
-        return _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit)
-    pad = (-n) % TRAVERSAL_CHUNK
-    if pad:
-        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
-        direction = jnp.concatenate(
-            [direction, jnp.ones((pad, 3), direction.dtype)]
-        )
-        tmin = jnp.concatenate([tmin, jnp.ones((pad,), tmin.dtype)])
-        tmax = jnp.concatenate([tmax, jnp.zeros((pad,), tmax.dtype)])
-    m = n + pad
-    key = _coherence_key(org, direction, tmin, tmax, bvh)
-    perm = jnp.argsort(key)
-    c = m // TRAVERSAL_CHUNK
-    so = org[perm].reshape(c, TRAVERSAL_CHUNK, 3)
-    sd = direction[perm].reshape(c, TRAVERSAL_CHUNK, 3)
-    stn = tmin[perm].reshape(c, TRAVERSAL_CHUNK)
-    stx = tmax[perm].reshape(c, TRAVERSAL_CHUNK)
-
-    def one(args):
-        o, dd, tn, tx = args
-        return _skip_traverse_curves(o, dd, bvh, tn, tx, any_hit)
-
-    t, prim = jax.lax.map(one, (so, sd, stn, stx))
-    t = t.reshape(m)
-    prim = prim.reshape(m)
-    inv = jnp.zeros(m, jnp.int32).at[perm].set(jnp.arange(m, dtype=jnp.int32))
-    return t[inv][:n], prim[inv][:n]
+    return chunked_over_rays(
+        lambda o, d, tn, tx: _skip_traverse_curves(o, d, bvh, tn, tx, any_hit),
+        org, direction, bvh, tmin, tmax,
+    )
 
 
 def intersect_curves_bvh(org, direction, bvh, curves: CurveSoA, tmin, tmax) -> CurveHit:

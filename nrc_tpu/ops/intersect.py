@@ -397,11 +397,14 @@ def _coherence_key(org, direction, tmin, tmax, bvh):
     return jnp.where(tmax <= tmin, jnp.int32(1 << 24), key)
 
 
-def _chunked_traverse(org, direction, bvh, tmin, tmax, any_hit: bool):
-    """Coherence-sorted, chunked wrapper around ``_skip_traverse``."""
+def chunked_over_rays(traverse_fn, org, direction, bvh, tmin, tmax):
+    """Coherence-sorted chunked wrapper shared by the triangle and curve
+    walks. ``traverse_fn(org, dir, tmin, tmax) -> (t, prim)`` runs per
+    chunk; dead-lane padding uses tmin=1/tmax=0 (starts at the sentinel)
+    and the `_coherence_key` dead bit pools such lanes into tail chunks."""
     n = org.shape[0]
     if n < 2 * TRAVERSAL_CHUNK:
-        return _skip_traverse(org, direction, bvh, tmin, tmax, any_hit)
+        return traverse_fn(org, direction, tmin, tmax)
     pad = (-n) % TRAVERSAL_CHUNK
     if pad:
         org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
@@ -421,13 +424,20 @@ def _chunked_traverse(org, direction, bvh, tmin, tmax, any_hit: bool):
 
     def one(args):
         o, dd, tn, tx = args
-        return _skip_traverse(o, dd, bvh, tn, tx, any_hit)
+        return traverse_fn(o, dd, tn, tx)
 
     t, prim = jax.lax.map(one, (so, sd, stn, stx))
     t = t.reshape(m)
     prim = prim.reshape(m)
     inv = jnp.zeros(m, jnp.int32).at[perm].set(jnp.arange(m, dtype=jnp.int32))
     return t[inv][:n], prim[inv][:n]
+
+
+def _chunked_traverse(org, direction, bvh, tmin, tmax, any_hit: bool):
+    return chunked_over_rays(
+        lambda o, d, tn, tx: _skip_traverse(o, d, bvh, tn, tx, any_hit),
+        org, direction, bvh, tmin, tmax,
+    )
 
 
 def intersect_bvh(org, direction, bvh, tris: TriSoA, tmin, tmax) -> Hit:

@@ -108,7 +108,11 @@ def _extract_geometry(geom_el):
     if mesh_el is None:
         return None
     sources = _mesh_sources(mesh_el)
-    v_all, f_all, n_acc, uv_acc = None, [], None, None
+    v_all, f_all = None, []
+    # per-vertex attribute accumulators shared ACROSS primitives (a mesh
+    # with several <triangles>/<polylist> blocks — one per material — must
+    # merge contributions, not keep only the last block's)
+    n_sum = n_cnt = uv_sum = uv_cnt = None
 
     for prim in list(_findall(mesh_el, "triangles")) + list(
         _findall(mesh_el, "polylist")
@@ -158,24 +162,26 @@ def _extract_geometry(geom_el):
         v_idx = corners[:, pos_off]
         f_all.append(v_idx[tri_rows])
 
-        # per-corner attributes averaged onto shared vertices
+        # per-corner attributes accumulated onto shared vertices
         for sem, off, src in inputs:
             if src is None or sem not in ("NORMAL", "TEXCOORD"):
                 continue
             per_corner = src[corners[:, off]]
             dims = 3 if sem == "NORMAL" else 2
-            acc = np.zeros((v_all.shape[0], dims))
-            cnt = np.zeros((v_all.shape[0], 1))
+            if sem == "NORMAL" and n_sum is None:
+                n_sum = np.zeros((v_all.shape[0], 3))
+                n_cnt = np.zeros((v_all.shape[0], 1))
+            if sem == "TEXCOORD" and uv_sum is None:
+                uv_sum = np.zeros((v_all.shape[0], 2))
+                uv_cnt = np.zeros((v_all.shape[0], 1))
+            acc, cnt = (n_sum, n_cnt) if sem == "NORMAL" else (uv_sum, uv_cnt)
             np.add.at(acc, v_idx, per_corner[:, :dims])
             np.add.at(cnt, v_idx, 1.0)
-            avg = acc / np.maximum(cnt, 1.0)
-            if sem == "NORMAL":
-                n_acc = avg
-            else:
-                uv_acc = avg
 
     if v_all is None or not f_all:
         return None
+    n_acc = n_sum / np.maximum(n_cnt, 1.0) if n_sum is not None else None
+    uv_acc = uv_sum / np.maximum(uv_cnt, 1.0) if uv_sum is not None else None
     return v_all, np.concatenate(f_all), n_acc, uv_acc
 
 
@@ -228,7 +234,9 @@ def load_dae(path: str) -> Mesh:
         all_v.append(vw)
         all_f.append(f + base)
         if nrm is not None:
-            nw = nrm @ np.linalg.inv(xf[:3, :3]).T
+            # row-vector normals transform by the inverse (column form:
+            # inverse-transpose): n' = n @ M^-1
+            nw = nrm @ np.linalg.inv(xf[:3, :3])
             ln = np.linalg.norm(nw, axis=-1, keepdims=True)
             all_n.append(nw / np.maximum(ln, 1e-20))
         else:

@@ -42,8 +42,8 @@ _DXGI_BC = {
     71: "BC1", 72: "BC1",          # BC1_UNORM(_SRGB)
     74: "BC2", 75: "BC2",
     77: "BC3", 78: "BC3",
-    80: "BC4", 81: "BC4",
-    83: "BC5", 84: "BC5",
+    80: "BC4", 81: "BC4S",         # BC4_UNORM / BC4_SNORM
+    83: "BC5", 84: "BC5S",         # BC5_UNORM / BC5_SNORM
 }
 _DXGI_UNCOMP = {
     28: ("rgba8", False), 29: ("rgba8", True),   # R8G8B8A8_UNORM(_SRGB)
@@ -131,6 +131,34 @@ def _decode_bc3_alpha(blocks: np.ndarray) -> np.ndarray:
     return np.take_along_axis(pal, sel, axis=1) / 255.0
 
 
+def _decode_bc45_snorm(blocks: np.ndarray) -> np.ndarray:
+    """BC4/BC5 SNORM channel block: int8 endpoints, values in [-1, 1]
+    (six-value mode's fixed entries are -1 and +1)."""
+    n = blocks.shape[0]
+    a0 = np.maximum(blocks[:, 0].view(np.int8).astype(np.float32), -127.0)
+    a1 = np.maximum(blocks[:, 1].view(np.int8).astype(np.float32), -127.0)
+    bits = np.zeros(n, np.uint64)
+    for i in range(6):
+        bits |= blocks[:, 2 + i].astype(np.uint64) << np.uint64(8 * i)
+    sel = (
+        (bits[:, None] >> (np.arange(16, dtype=np.uint64) * np.uint64(3)))
+        & np.uint64(0x7)
+    ).astype(np.int32)
+    eight = a0 > a1
+    pal = np.zeros((n, 8), np.float32)
+    pal[:, 0] = a0
+    pal[:, 1] = a1
+    ks = np.arange(1, 7, dtype=np.float32)
+    pal8 = (a0[:, None] * (7.0 - ks) + a1[:, None] * ks) / 7.0
+    pal6 = np.zeros((n, 6), np.float32)
+    ks5 = np.arange(1, 5, dtype=np.float32)
+    pal6[:, :4] = (a0[:, None] * (5.0 - ks5) + a1[:, None] * ks5) / 5.0
+    pal6[:, 4] = -127.0
+    pal6[:, 5] = 127.0
+    pal[:, 2:] = np.where(eight[:, None], pal8, pal6)
+    return np.clip(np.take_along_axis(pal, sel, axis=1) / 127.0, -1.0, 1.0)
+
+
 def _decode_bc2_alpha(blocks: np.ndarray) -> np.ndarray:
     """BC2 explicit 4-bit alpha: [N, 8] u8 -> [N, 16] float."""
     lo = (blocks & 0xF).astype(np.float32) / 15.0
@@ -150,7 +178,7 @@ def _blocks_to_image(tex: np.ndarray, w: int, h: int) -> np.ndarray:
 def _decode_bc(data: np.ndarray, w: int, h: int, kind: str) -> np.ndarray:
     bw, bh = (w + 3) // 4, (h + 3) // 4
     nb = bw * bh
-    bs = 8 if kind in ("BC1", "BC4") else 16
+    bs = 8 if kind in ("BC1", "BC4", "BC4S") else 16
     blocks = data[: nb * bs].reshape(nb, bs)
     if kind == "BC1":
         rgb, a = _decode_bc1_color(blocks, force_opaque=False)
@@ -163,13 +191,15 @@ def _decode_bc(data: np.ndarray, w: int, h: int, kind: str) -> np.ndarray:
         a = _decode_bc3_alpha(blocks[:, :8])
         rgb, _ = _decode_bc1_color(blocks[:, 8:], force_opaque=True)
         tex = np.concatenate([rgb, a[:, :, None]], axis=-1)
-    elif kind == "BC4":
-        r = _decode_bc3_alpha(blocks)
+    elif kind in ("BC4", "BC4S"):
+        dec = _decode_bc3_alpha if kind == "BC4" else _decode_bc45_snorm
+        r = dec(blocks)
         z = np.zeros_like(r)
         tex = np.stack([r, z, z, np.ones_like(r)], axis=-1)
-    elif kind == "BC5":
-        r = _decode_bc3_alpha(blocks[:, :8])
-        g = _decode_bc3_alpha(blocks[:, 8:])
+    elif kind in ("BC5", "BC5S"):
+        dec = _decode_bc3_alpha if kind == "BC5" else _decode_bc45_snorm
+        r = dec(blocks[:, :8])
+        g = dec(blocks[:, 8:])
         z = np.zeros_like(r)
         tex = np.stack([r, g, z, np.ones_like(r)], axis=-1)
     else:  # pragma: no cover
@@ -205,7 +235,7 @@ def _decode_masked(
 
 
 def _bc_size(w: int, h: int, kind: str) -> int:
-    bs = 8 if kind in ("BC1", "BC4") else 16
+    bs = 8 if kind in ("BC1", "BC4", "BC4S") else 16
     return ((w + 3) // 4) * ((h + 3) // 4) * bs
 
 

@@ -324,7 +324,10 @@ def load_fbx(path: str) -> Mesh:
                         ln = np.linalg.norm(acc, axis=-1, keepdims=True)
                         nrm = acc / np.maximum(ln, 1e-20)
                 if nrm is not None:
-                    nrm = nrm @ xf[:3, :3].T
+                    # row-vector normals transform by the inverse (column
+                    # form: inverse-transpose) — matters for non-uniform
+                    # Lcl Scaling
+                    nrm = nrm @ np.linalg.inv(xf[:3, :3])
                     ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
                     nrm = nrm / np.maximum(ln, 1e-20)
         uv_el = g.child("LayerElementUV")

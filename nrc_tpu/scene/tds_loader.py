@@ -42,7 +42,6 @@ def load_3ds(path: str) -> Mesh:
         nonlocal base
         verts = uv = None
         faces = None
-        xf = np.eye(4)
         o = off
         while o + 6 <= end:
             cid, clen = struct.unpack_from("<HI", data, o)
@@ -61,16 +60,11 @@ def load_3ds(path: str) -> Mesh:
                 uv = np.frombuffer(
                     data, "<f4", n * 2, body + 2
                 ).reshape(n, 2).astype(np.float32)
-            elif cid == LOCAL_AXES:
-                m = np.frombuffer(data, "<f4", 12, body).reshape(4, 3)
-                xf = np.eye(4)
-                xf[:3, :3] = m[:3].T
-                xf[:3, 3] = m[3]
+            # LOCAL_AXES (0x4160) is deliberately skipped: 3ds exports store
+            # vertices already world-placed, so re-applying the mesh matrix
+            # would double-transform (matching Assimp's default)
             o += max(clen, 6)
         if verts is not None and faces is not None:
-            # vertices are stored in world space already when the local-axis
-            # chunk is identity; 3ds max exports keep them world-placed, so
-            # the mesh matrix is NOT re-applied (matching Assimp's default)
             all_v.append(verts)
             all_f.append(faces + base)
             all_uv.append(

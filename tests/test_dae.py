@@ -106,3 +106,33 @@ def test_mesh_import_dispatch(tmp_path):
 
     m = scene_builder._make_mesh(Decl())
     assert m.num_triangles == 2
+
+
+TWO_PRIM = """<triangles count="1">
+  <input semantic="VERTEX" source="#quad-verts" offset="0"/>
+  <input semantic="NORMAL" source="#quad-nrm" offset="1"/>
+  <p>0 0 1 0 2 0</p>
+</triangles>
+<triangles count="1">
+  <input semantic="VERTEX" source="#quad-verts" offset="0"/>
+  <input semantic="NORMAL" source="#quad-nrm" offset="1"/>
+  <p>0 0 2 0 3 0</p>
+</triangles>"""
+
+
+def test_multi_primitive_normals_merge(tmp_path):
+    """Normals from EVERY primitive block accumulate (a mesh split by
+    material must not lose the first block's attributes)."""
+    m = load_dae(_write(tmp_path, TWO_PRIM))
+    assert m.indices.shape == (2, 3)
+    np.testing.assert_allclose(m.normals, [[0, 0, 1]] * 4, atol=1e-6)
+
+
+def test_rotated_instance_normals(tmp_path):
+    """Normals rotate WITH the geometry (inverse-transpose, not inverse):
+    right-handed R_x(90) maps y->z and z->-y, so the +z face normal goes to
+    (0,-1,0) — the buggy n@inv(R).T form sent it to (0,+1,0)."""
+    m = load_dae(_write(tmp_path, TRIANGLES, "<rotate>1 0 0 90</rotate>"))
+    np.testing.assert_allclose(m.normals, [[0, -1, 0]] * 4, atol=1e-5)
+    # geometry rotated the same way: vertex (1,1,0) -> (1,0,1)
+    np.testing.assert_allclose(m.vertices[2], [1, 0, 1], atol=1e-5)

@@ -226,3 +226,17 @@ def load_dds_bytes(raw, tmpdir=[]):
         return load_dds(path)
     finally:
         os.unlink(path)
+
+
+def test_bc5_snorm():
+    """DXGI 84 = BC5_SNORM: int8 endpoints decode to [-1, 1]."""
+    dx10 = struct.pack("<5I", 84, 3, 0, 1, 0)
+    rb = struct.pack("<2b6s", -127, 127, (0).to_bytes(6, "little"))
+    idx1 = 0  # every texel selects palette index 1 (-> a1)
+    for i in range(16):
+        idx1 |= 1 << (3 * i)
+    gb = struct.pack("<2b6s", -127, 127, idx1.to_bytes(6, "little"))
+    raw = _header(4, 4, fourcc=b"DX10") + dx10 + rb + gb
+    img = load_dds_bytes(raw)
+    np.testing.assert_allclose(img[..., 0], -1.0, atol=1e-6)  # R = a0 = -127
+    np.testing.assert_allclose(img[..., 1], 1.0, atol=1e-6)   # G = a1 = +127

@@ -158,3 +158,22 @@ def test_mesh_import_dispatch(tmp_path):
 
     m = scene_builder._make_mesh(Decl())
     assert m.num_triangles == 2
+
+
+def test_nonuniform_scale_normals(tmp_path):
+    """Normals use the inverse-transpose: scaling geometry by (1,1,4)
+    shrinks the normal's z component (tips AWAY from the stretched axis)."""
+    doc = ASCII_DOC.replace(
+        'P: "Lcl Translation", "Lcl Translation", "", "A",2,0,0',
+        'P: "Lcl Rotation", "Lcl Rotation", "", "A",90,0,0',
+    ).replace(
+        'P: "Lcl Scaling", "Lcl Scaling", "", "A",2,2,2',
+        'P: "Lcl Scaling", "Lcl Scaling", "", "A",1,1,4',
+    )
+    p = tmp_path / "s.fbx"
+    p.write_text(doc)
+    m = load_fbx(str(p))
+    # quad in xy-plane rotated by R_x(90) -> lies in xz-plane, generated
+    # normal should be +/-y regardless of the z scale
+    ay = np.abs(m.normals[:, 1])
+    np.testing.assert_allclose(ay, 1.0, atol=1e-5)
