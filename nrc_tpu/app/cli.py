@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the frame over N chips (shard_map data mesh)")
     p.add_argument("--checkpoint", default=None,
                    help="save the full render state here when done")
+    p.add_argument("--checkpoint-format", default="npz",
+                   choices=("npz", "orbax"),
+                   help="checkpoint container: portable single-file npz or "
+                        "an orbax PyTree directory")
     p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
                    help="also checkpoint every N frames (atomic; crash/"
                         "preemption recovery)")
@@ -189,7 +193,7 @@ def main(argv=None) -> int:
     if args.checkpoint:
         from ..models.checkpoint import save_render_state
 
-        save_render_state(args.checkpoint, r)
+        save_render_state(args.checkpoint, r, format=args.checkpoint_format)
         print(f"saved render state to {args.checkpoint}")
     return 0
 
@@ -268,7 +272,7 @@ def _render_loop(args, driver, r, spp, stats_f, t0):
         ):
             from ..models.checkpoint import save_render_state
 
-            save_render_state(args.checkpoint, r)
+            save_render_state(args.checkpoint, r, format=args.checkpoint_format)
         if stats_f is not None:
             stats_f.write(
                 json.dumps(

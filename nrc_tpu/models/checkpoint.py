@@ -3,7 +3,9 @@
 state"). Saves the full trainable state (MLP params, EMA weights, Adam
 moments, hash-grid tables) so an online-trained cache survives restarts.
 
-Orbax-backed when available; falls back to a portable .npz container.
+Two containers: a portable single-file .npz (default) and an orbax
+PyTree checkpoint directory (``format='orbax'`` / CLI
+``--checkpoint-format orbax``); loading auto-detects by path type.
 """
 
 from __future__ import annotations
@@ -44,7 +46,23 @@ def _flatten(state: NetworkState) -> dict:
     return out
 
 
-def save_checkpoint(path: str, state: NetworkState) -> str:
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state: NetworkState, format: str = "npz") -> str:
+    """``format='npz'`` writes a single portable file; ``format='orbax'``
+    writes an orbax PyTree checkpoint directory (sharding-aware, the
+    standard JAX ecosystem format)."""
+    if format == "orbax":
+        path = os.path.abspath(path)
+        _orbax_checkpointer().save(
+            path, {k: np.asarray(v) for k, v in _flatten(state).items()},
+            force=True,
+        )
+        return path
     if not path.endswith(".npz"):
         path += ".npz"
     arrays = {k: np.asarray(v) for k, v in _flatten(state).items()}
@@ -56,9 +74,13 @@ def save_checkpoint(path: str, state: NetworkState) -> str:
 
 
 def load_checkpoint(path: str, cfg: Optional[NetworkConfig] = None) -> NetworkState:
-    if not path.endswith(".npz"):
-        path += ".npz"
-    z = np.load(path)
+    """Loads either container: an orbax checkpoint directory or a .npz."""
+    if os.path.isdir(path):
+        z = _orbax_checkpointer().restore(os.path.abspath(path))
+    else:
+        if not path.endswith(".npz"):
+            path += ".npz"
+        z = np.load(path)
 
     def j(k):
         return jnp.asarray(z[k])
@@ -92,17 +114,21 @@ def load_checkpoint(path: str, cfg: Optional[NetworkConfig] = None) -> NetworkSt
 # trained cache, optimizer moments, and the progressive image intact.
 # ---------------------------------------------------------------------------
 
-def save_render_state(path: str, renderer) -> str:
+def save_render_state(path: str, renderer, format: str = "npz") -> str:
     """Checkpoint a ``Renderer``: network state + accumulated image +
     iteration / subframe counters + tile size."""
-    if not path.endswith(".npz"):
-        path += ".npz"
     arrays = {f"net.{k}": np.asarray(v)
               for k, v in _flatten(renderer.net_state).items()}
     arrays["render.image"] = np.asarray(renderer.image)
     arrays["render.iteration"] = np.int64(renderer.iteration)
     arrays["render.total_subframe"] = np.int64(renderer.total_subframe)
     arrays["render.tile_size"] = np.asarray(renderer.cfg.tile_size, np.int32)
+    if format == "orbax":
+        path = os.path.abspath(path)
+        _orbax_checkpointer().save(path, arrays, force=True)
+        return path
+    if not path.endswith(".npz"):
+        path += ".npz"
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
@@ -113,12 +139,16 @@ def save_render_state(path: str, renderer) -> str:
 
 
 def load_render_state(path: str, renderer) -> None:
-    """Restore a ``Renderer`` saved by ``save_render_state`` in place."""
+    """Restore a ``Renderer`` saved by ``save_render_state`` in place
+    (either container: orbax directory or .npz)."""
     import dataclasses
 
-    if not path.endswith(".npz"):
-        path += ".npz"
-    z = np.load(path)
+    if os.path.isdir(path):
+        z = _orbax_checkpointer().restore(os.path.abspath(path))
+    else:
+        if not path.endswith(".npz"):
+            path += ".npz"
+        z = np.load(path)
 
     def j(k):
         return jnp.asarray(z[f"net.{k}"])
@@ -147,6 +177,10 @@ def load_render_state(path: str, renderer) -> None:
 
 
 def is_render_state(path: str) -> bool:
+    if os.path.isdir(path):
+        return "render.image" in _orbax_checkpointer().restore(
+            os.path.abspath(path)
+        )
     if not path.endswith(".npz"):
         path += ".npz"
     with np.load(path) as z:

@@ -136,3 +136,24 @@ class TestNetwork:
         # lum(pred) = 1 -> denom = 1.01
         loss = float(N.relative_l2_luminance(pred, target))
         assert loss == pytest.approx(1.0 / 1.01, rel=1e-5)
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path):
+        """Network state round-trips through the orbax PyTree container
+        bit-exactly; loading auto-detects the directory format."""
+        import jax
+
+        from nrc_tpu.config import NetworkConfig
+        from nrc_tpu.models import network as N
+        from nrc_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+
+        cfg = NetworkConfig()
+        ns = N.init_network(jax.random.PRNGKey(7), cfg)
+        p = save_checkpoint(str(tmp_path / "ckpt_orbax"), ns, format="orbax")
+        import os
+
+        assert os.path.isdir(p)
+        ns2 = load_checkpoint(p, cfg)
+        for a, b in zip(jax.tree.leaves(ns), jax.tree.leaves(ns2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
