@@ -97,9 +97,10 @@ def main():
     float(jnp.ravel(r.image)[0])
 
     spp = int(os.environ.get("BENCH_SPP", "32"))
+    frame_stats = []
     t0 = time.perf_counter()
     for _ in range(spp):
-        r.render_frame()
+        frame_stats.append(r.render_frame())
     # True completion barrier: a scalar readback of values that depend on
     # every frame. (block_until_ready alone can return early on relayed
     # remote backends, which would inflate the result.)
@@ -108,16 +109,22 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = spp / dt
+    # PRIMARY metric: rays actually cast (closest-hit segments of live lanes
+    # + shadow rays with a valid light sample, counted on-device per frame).
+    # Secondary: the potential-ray figure — (pixels+tiles) x (max_depth+1)
+    # x 2 — which assumes every path traces every segment; the area-spread
+    # heuristic truncates most FULL-mode paths in 1-2 bounces, so potential
+    # overstates traced severalfold.
+    traced = sum(int(s.traced_rays) for s in frame_stats)  # after the timer
+    mrays = traced / dt / 1e6
     n_pixels = r.cfg.num_pixels
-    # closest-hit traversals per frame: render wavefront (max_depth+1 bounces)
-    # + NEE shadow rays (1/bounce) + training wavefront (#tiles rays)
     n_tiles = r.cfg.num_tiles
     segs = r.cfg.max_depth + 1
-    rays_per_frame = (n_pixels + n_tiles) * segs * 2  # closest + shadow
-    mrays = rays_per_frame * fps / 1e6
+    potential_mrays = (n_pixels + n_tiles) * segs * 2 * fps / 1e6
 
     log(
-        f"{spp} spp in {dt:.3f}s -> {fps:.2f} fps, {mrays:.2f} Mrays/s, "
+        f"{spp} spp in {dt:.3f}s -> {fps:.2f} fps, {mrays:.2f} Mrays/s traced "
+        f"({potential_mrays:.2f} potential), "
         f"loss {float(r.last_stats.loss):.4f}, "
         f"records {int(r.last_stats.num_train_records)}"
     )
@@ -127,7 +134,14 @@ def main():
     if os.path.isfile(baseline_path):
         try:
             with open(baseline_path) as f:
-                vs = mrays / float(json.load(f)["mrays_per_s"])
+                base = json.load(f)
+            # prefer a traced-ray baseline entry; fall back to comparing the
+            # potential figure against the (potential-accounted) first-run
+            # baseline so the speedup ratio stays accounting-consistent
+            if "mrays_per_s_traced" in base:
+                vs = mrays / float(base["mrays_per_s_traced"])
+            else:
+                vs = potential_mrays / float(base["mrays_per_s"])
         except Exception:
             vs = 1.0
 
@@ -137,6 +151,7 @@ def main():
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 4),
+        "potential_mrays_per_s": round(potential_mrays, 3),
     }
     try:  # cache for the watchdog fallback of a future dead-tunnel run
         with open(LAST_GOOD, "w") as f:

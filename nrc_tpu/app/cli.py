@@ -148,27 +148,33 @@ def main(argv=None) -> int:
         else contextlib.nullcontext()
     )
 
+    traced_scalars = []
     t0 = time.perf_counter()
     with profile_ctx:
         if args.mode == 0 and (args.present or system.present):
             _present_loop(args, driver, r, spp, t0)
         else:
-            _render_loop(args, driver, r, spp, stats_f, t0)
+            traced_scalars = _render_loop(args, driver, r, spp, stats_f, t0)
     jax.block_until_ready(r.image)
     dt = time.perf_counter() - t0
     # throughput report (the reference prints only fps,
-    # Application.cpp:522-527; Mrays/s + cache queries/s added on top):
-    # closest + shadow traversals per bounce segment for render + train rays
+    # Application.cpp:522-527; Mrays/s + cache queries/s added on top).
+    # Primary Mrays/s counts rays actually cast (on-device counter, read
+    # after the barrier); "potential" assumes every path traces every
+    # closest-hit + shadow segment, which the area-spread truncation makes
+    # a severalfold overstatement.
     segs = r.cfg.max_depth + 1
     n_tiles = r.cfg.num_tiles if r.cfg.train else 0
-    rays = (r.cfg.num_pixels + n_tiles) * segs * 2 * spp
+    potential = (r.cfg.num_pixels + n_tiles) * segs * 2 * spp
+    traced = sum(int(t) for t in traced_scalars)
     from ..config import RenderMode as _RM
 
     uses_cache = r.cfg.render_mode != _RM.NO_CACHE
     n_queries = ((r.cfg.num_pixels if uses_cache else 0) + n_tiles) * spp
     print(
         f"{spp} spp in {dt:.2f}s -> {spp / dt:.2f} fps, "
-        f"{rays / dt / 1e6:.2f} Mrays/s, "
+        f"{traced / dt / 1e6:.2f} Mrays/s traced "
+        f"({potential / dt / 1e6:.2f} potential), "
         f"{n_queries / dt / 1e6:.2f} M cache queries/s"
     )
     driver.flush_stats() if hasattr(driver, "flush_stats") else None
@@ -263,8 +269,12 @@ def _present_loop(args, driver, r, spp, t0):
 
 
 def _render_loop(args, driver, r, spp, stats_f, t0):
+    # device scalars collected without readback; summed after the end-of-run
+    # barrier so the async frame pipeline never blocks on a stats round trip
+    traced_scalars = []
     for i in range(spp):
         stats = driver.render_frame()
+        traced_scalars.append(stats.traced_rays)
         if (
             args.checkpoint
             and args.checkpoint_every
@@ -280,6 +290,7 @@ def _render_loop(args, driver, r, spp, stats_f, t0):
                         "frame": i,
                         "loss": float(stats.loss),
                         "num_train_records": int(stats.num_train_records),
+                        "traced_rays": int(stats.traced_rays),
                         "tile_size": list(r.cfg.tile_size),
                     }
                 )
@@ -288,6 +299,7 @@ def _render_loop(args, driver, r, spp, stats_f, t0):
         if args.mode == 0 and (i + 1) % 16 == 0:
             el = time.perf_counter() - t0
             print(f"[{i + 1}/{spp}] {(i + 1) / el:.2f} fps, loss {float(stats.loss):.4f}")
+    return traced_scalars
 
 
 if __name__ == "__main__":

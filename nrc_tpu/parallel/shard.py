@@ -120,6 +120,7 @@ def sharded_frame_step(
         stats = FrameStats(
             loss=jax.lax.pmean(stats.loss, DATA_AXIS),
             num_train_records=jax.lax.psum(stats.num_train_records, DATA_AXIS),
+            traced_rays=jax.lax.psum(stats.traced_rays, DATA_AXIS),
         )
         return image2.reshape(shard_rows, cfg.width, 3), net2, stats
 

@@ -51,6 +51,13 @@ from .scene_device import DeviceScene
 class FrameStats(NamedTuple):
     loss: jnp.ndarray               # scalar, mean of the batch losses
     num_train_records: jnp.ndarray  # scalar i32
+    # rays actually cast this frame (closest-hit segments of live lanes +
+    # shadow rays with a valid light sample, both wavefronts) — the honest
+    # Mrays/s numerator. The reference's potential-ray figure assumes every
+    # path traces all max_depth+1 segments plus one shadow ray each; the
+    # area-spread heuristic truncates most FULL-mode paths in 1-2 bounces,
+    # so traced is typically a small fraction of potential.
+    traced_rays: jnp.ndarray = np.int32(0)  # scalar i32
 
 
 class CameraArrays(NamedTuple):
@@ -227,6 +234,10 @@ def frame_step(
     else:
         train_out = None
 
+    traced_rays = jnp.sum(render_out.traced_count)
+    if cfg.train:
+        traced_rays = traced_rays + jnp.sum(train_out.traced_count)
+
     # ---- cache inference over [#pixels + #tiles] queries ----------------
     # (Device::nrcInferRadiance, Device.cpp:1272-1308)
     mode = cfg.render_mode
@@ -299,6 +310,7 @@ def frame_step(
         return image, net_state, FrameStats(
             loss=jnp.sum(train_out.rec_target) * 0.0,
             num_train_records=jnp.sum(train_out.rec_count),
+            traced_rays=traced_rays,
         )
     if cfg.train:
         targets = propagate_radiance(
@@ -312,6 +324,7 @@ def frame_step(
             return image, net_state, FrameStats(
                 loss=jnp.sum(targets) * 0.0,
                 num_train_records=jnp.sum(train_out.rec_count),
+                traced_rays=traced_rays,
             )
         if cfg.reflectance_factoring:
             # propagation ran in radiance units; train on
@@ -329,6 +342,7 @@ def frame_step(
             return image, net_state, FrameStats(
                 loss=jnp.sum(batch_q) * 0.0 + jnp.sum(batch_t) * 0.0,
                 num_train_records=num_records,
+                traced_rays=traced_rays,
             )
 
         def do_train(ns):
@@ -363,4 +377,6 @@ def frame_step(
         loss = np.float32(0.0)
         num_records = np.int32(0)
 
-    return image, net_state, FrameStats(loss=loss, num_train_records=num_records)
+    return image, net_state, FrameStats(
+        loss=loss, num_train_records=num_records, traced_rays=traced_rays
+    )

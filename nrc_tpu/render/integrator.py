@@ -72,6 +72,10 @@ class WavefrontOut(NamedTuple):
 
     radiance: jnp.ndarray                 # [N, 3] path-traced radiance
     bounce_count: jnp.ndarray             # [N] i32 (time-view AOV)
+    traced_count: jnp.ndarray             # [N] i32 rays actually cast
+    #   (closest-hit segments with a live lane + shadow rays with a valid
+    #   light sample) — the honest Mrays/s numerator; "potential" rays =
+    #   N x (max_depth+1) x 2 assume every lane traces every segment
     render_query: jnp.ndarray             # [N, 13] query at truncation vertex
     last_render_throughput: jnp.ndarray   # [N, 3] (0 -> query unused)
     cache_vis_query: jnp.ndarray          # [N, 13] first non-specular vertex
@@ -110,6 +114,7 @@ class _State(NamedTuple):
     stack_idx: jnp.ndarray      # [N]
     pass_dist: jnp.ndarray      # [N] distance through cutout passthroughs
     bounces: jnp.ndarray        # [N] i32 work events (time-view AOV)
+    traced: jnp.ndarray         # [N] i32 rays actually cast (see WavefrontOut)
     last_render_throughput: jnp.ndarray
     render_query: jnp.ndarray
     cache_vis_query: jnp.ndarray
@@ -236,6 +241,7 @@ def trace_wavefront(
         stack_idx=jnp.zeros((n,), jnp.int32),
         pass_dist=jnp.zeros((n,), jnp.float32),
         bounces=jnp.zeros((n,), jnp.int32),
+        traced=jnp.zeros((n,), jnp.int32),
         last_render_throughput=zero3(),
         render_query=jnp.zeros((n, QUERY_DIMS), jnp.float32),
         cache_vis_query=jnp.zeros((n, QUERY_DIMS), jnp.float32),
@@ -744,6 +750,7 @@ def trace_wavefront(
             alive = alive & ~overflow  # wavefront B has nothing left to do
 
         # ---- NEE / direct lighting (hit.cu:343-443, 1030-1056) --------
+        shadow_traced = jnp.zeros((n,), jnp.int32)
         if direct_lighting:
             seed, xi_l = R.rng4(seed)
             ls = sample_lights(scene.lights, p_hit, xi_l, tex_ctx=nee_tex_ctx)
@@ -787,6 +794,7 @@ def trace_wavefront(
                 sh_tmin = jnp.full((n,), eps)
                 sh_done = shadow_tmax <= 0.0
                 for _ in range(3):
+                    shadow_traced = shadow_traced + (~sh_done).astype(jnp.int32)
                     sh = closest_hit(
                         p_hit, ls.direction, sh_tmin,
                         jnp.where(sh_done, 0.0, shadow_tmax),
@@ -803,6 +811,7 @@ def trace_wavefront(
                 occluded = any_hit(
                     p_hit, ls.direction, jnp.full((n,), eps), shadow_tmax
                 )
+                shadow_traced = (shadow_tmax > 0.0).astype(jnp.int32)
             if has_curves:
                 occluded = occluded | IC.occluded_curves_bvh(
                     p_hit, ls.direction, scene.curve_bvh, scene.curves,
@@ -915,6 +924,7 @@ def trace_wavefront(
             # volume scatter steps (the TPU analog of USE_TIME_VIEW clocks)
             bounces=s.bounces
             + (hit_valid | passthrough | scatter_miss).astype(jnp.int32),
+            traced=s.traced + active.astype(jnp.int32) + shadow_traced,
             last_render_throughput=lrt,
             render_query=render_query,
             cache_vis_query=cache_vis_query,
@@ -966,6 +976,7 @@ def trace_wavefront(
     return WavefrontOut(
         radiance=state.radiance,
         bounce_count=state.bounces,
+        traced_count=state.traced,
         render_query=state.render_query,
         last_render_throughput=lrt,
         cache_vis_query=state.cache_vis_query,

@@ -251,16 +251,25 @@ class Renderer:
         self.render_frame()
         self.restart_accumulation()
         jax.block_until_ready(self.image)
+        frame_stats = []
         t0 = time.perf_counter()
         for _ in range(spp):
-            self.render_frame()
+            frame_stats.append(self.render_frame())
         jax.block_until_ready(self.image)
         dt = time.perf_counter() - t0
+        # readback after the timer stops — per-frame int() would sync the
+        # async dispatch pipeline and measure round trips, not render time
+        traced = sum(int(s.traced_rays) for s in frame_stats)
         return {
             "spp": spp,
             "seconds": dt,
             "fps": spp / dt,
-            "mrays_per_s": self.cfg.num_pixels * spp * (self.cfg.max_depth + 1) / dt / 1e6,
+            # primary: rays actually cast (closest-hit segments of live lanes
+            # + valid shadow rays); secondary: the potential-ray figure that
+            # assumes every path runs all segments
+            "mrays_per_s": traced / dt / 1e6,
+            "potential_mrays_per_s": self.cfg.num_pixels
+            * spp * (self.cfg.max_depth + 1) / dt / 1e6,
             "loss": float(self.last_stats.loss) if self.last_stats else 0.0,
         }
 

@@ -206,3 +206,34 @@ class TestReflectanceFactoring:
         np.testing.assert_allclose(
             query_reflectance(q)[0], [0.3, 0.4, 0.5], atol=1e-7
         )
+
+
+class TestTracedRayAccounting:
+    def test_traced_rays_positive_and_below_potential(self, cornell_small):
+        """FrameStats.traced_rays counts rays actually cast: > 0, bounded by
+        the potential figure (pixels+tiles) x (max_depth+1) x 2, and — since
+        the area-spread heuristic truncates most FULL paths in 1-2 bounces —
+        well below it on Cornell."""
+        scene, system = cornell_small
+        r = Renderer(scene, system, render_mode=RenderMode.FULL,
+                     train=True, adaptive_tiles=False)
+        for _ in range(2):
+            stats = r.render_frame()
+        traced = int(stats.traced_rays)
+        potential = (r.cfg.num_pixels + r.cfg.num_tiles) * (r.cfg.max_depth + 1) * 2
+        assert traced > r.cfg.num_pixels  # at least one segment per pixel
+        assert traced <= potential
+        # Cornell FULL mode truncates early: traced is a small fraction
+        assert traced < 0.8 * potential
+
+    def test_no_cache_traces_more_than_full(self, cornell_small):
+        """NO_CACHE paths run to max_depth (no truncation into the cache), so
+        they must cast more rays per frame than FULL."""
+        scene, system = cornell_small
+        r_full = Renderer(scene, system, render_mode=RenderMode.FULL,
+                          train=False, adaptive_tiles=False)
+        r_nc = Renderer(scene, system, render_mode=RenderMode.NO_CACHE,
+                        train=False, adaptive_tiles=False)
+        t_full = int(r_full.render_frame().traced_rays)
+        t_nc = int(r_nc.render_frame().traced_rays)
+        assert t_nc > t_full > 0
