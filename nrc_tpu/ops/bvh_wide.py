@@ -1,0 +1,290 @@
+"""8-wide BVH build: collapse the binary SAH tree into branch-8 nodes
+whose rows carry ALL EIGHT children's AABBs + child pointers.
+
+Why wide, on TPU: the lockstep traversal's cost is gathered node ROWS
+(per-row latency-bound, nearly independent of row width — BASELINE.md's
+cost model), so a node row that answers "which of 8 subtrees does this ray
+enter?" in ONE gather replaces ~7 binary-node gathers of the skip-link
+walk. This is the TPU analog of the RT-core/CWBVH wide-node idea behind
+``optixTrace`` (reference: ``Device.cpp:1845-2253`` builds the OptiX GAS;
+the traversal hardware is opaque — we replace it, not translate it).
+
+Output arrays (consumed by ``ops/intersect_wide.py``):
+
+- ``wnode`` [8, W, 32] f32: per direction-octant variant, per wide node:
+  slots 0:24 hold the 8 children's (lo3 | hi3) boxes as 48 bf16 values
+  packed pairwise into f32 bit patterns (value 2k in the low 16 bits of
+  slot k, value 2k+1 in the high bits); slots 24:32 hold 8 bitcast-i32
+  child metas. Boxes are CONSERVATIVELY rounded (lo down, hi up) so the
+  bf16 slab test can only pass extra children, never lose one — winners
+  stay exact because leaf triangle tests run in full f32. The 32-f32 row
+  gathers at the same per-row cost as the binary walk's 8-f32 row
+  (measured: TPU row-gather cost is flat to ~32 f32, ~1.65x at 56).
+  meta >= 0 -> inner child (wide node index); meta < 0 -> leaf child
+  (leaf row = ~meta); meta == NONE -> empty slot. Children within a row
+  are sorted near-first for that octant (ascending centroid projection
+  onto the octant direction) — the stackless substitute for ordered
+  descent.
+- ``leaf_pack`` [L, leaf_size*10] f32: leaf_size x (p0|e1|e2) triangle
+  rows + leaf_size bitcast prim ids (-1 padding) — same layout as the
+  binary path's leaf rows.
+- ``depth`` [1, D] i32 (shape-carried static): max wide-tree depth, the
+  traversal's stack bound.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from .bvh import build_bvh
+
+BRANCH = 8
+NONE = np.int32(-2147483648)  # empty-slot meta (INT32_MIN; ~leaf never is)
+
+
+def collapse_wide(
+    left: np.ndarray,
+    right: np.ndarray,
+    start: np.ndarray,
+    count: np.ndarray,
+    order: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    leaf_size: int,
+    branch: int = BRANCH,
+):
+    """Binary (left/right/start/count) tree -> wide-node lists.
+
+    A binary subtree whose total primitive count fits ``leaf_size``
+    becomes one leaf child; otherwise the child set of a wide node is
+    grown by repeatedly expanding the child subtree with the largest
+    surface area until ``branch`` slots are used (the standard greedy
+    binary->wide collapse).
+
+    Returns (wide_children, wide_boxes, leaves) where wide_children[i] is
+    a list of ('inner', wide_idx) / ('leaf', leaf_idx) slots, wide_boxes[i]
+    the matching [len, 6] child AABBs, and leaves a list of prim-id lists.
+    """
+    n = lo.shape[0]
+    # subtree primitive counts (iterative post-order)
+    prims = np.zeros(n, np.int64)
+    stack = [(0, False)]
+    while stack:
+        v, done = stack.pop()
+        if done:
+            prims[v] = prims[left[v]] + prims[right[v]]
+        elif left[v] < 0:
+            prims[v] = count[v]
+        else:
+            stack.append((v, True))
+            stack.append((left[v], False))
+            stack.append((right[v], False))
+
+    area = np.prod(np.maximum(hi - lo, 0.0), axis=-1)  # proxy: volume
+    ext = np.maximum(hi - lo, 0.0)
+    area = 2.0 * (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+                  + ext[:, 2] * ext[:, 0])
+
+    def collect(v):
+        out, st = [], [v]
+        while st:
+            u = st.pop()
+            if left[u] < 0:
+                out.extend(order[start[u]: start[u] + count[u]].tolist())
+            else:
+                st.append(right[u])
+                st.append(left[u])
+        return out
+
+    wide_children = []  # per wide node: list of ('inner'|'leaf', idx)
+    wide_boxes = []     # per wide node: list of (lo3, hi3)
+    leaves = []         # leaf idx -> prim id list
+    depth_of = []       # per wide node
+
+    def make_leaf(v):
+        leaves.append(collect(v))
+        return len(leaves) - 1
+
+    # BFS so children wide-ids can be patched after allocation
+    root_fits = prims[0] <= leaf_size
+    if root_fits or left[0] < 0:
+        # degenerate: single wide node with one leaf child
+        wide_children.append([("leaf", make_leaf(0))])
+        wide_boxes.append([(lo[0], hi[0])])
+        depth_of.append(0)
+    else:
+        todo = [(0, 0)]  # (binary node, wide parent depth)
+        wide_of = {}     # binary node -> wide idx
+        wide_children.append(None)
+        wide_boxes.append(None)
+        depth_of.append(0)
+        wide_of[0] = 0
+        while todo:
+            v, d = todo.pop()
+            wi = wide_of[v]
+            depth_of[wi] = d
+            # grow child set: expand the largest-area inner, non-leaf-fitting
+            # child until `branch` slots
+            slots = [left[v], right[v]]
+            while len(slots) < branch:
+                best, best_a = -1, -1.0
+                for i, u in enumerate(slots):
+                    if left[u] >= 0 and prims[u] > leaf_size and area[u] > best_a:
+                        best, best_a = i, area[u]
+                if best < 0:
+                    break
+                u = slots.pop(best)
+                slots.extend([left[u], right[u]])
+            ch, bx = [], []
+            for u in slots:
+                if left[u] < 0 or prims[u] <= leaf_size:
+                    ch.append(("leaf", make_leaf(u)))
+                else:
+                    wide_children.append(None)
+                    wide_boxes.append(None)
+                    depth_of.append(0)
+                    wide_of[u] = len(wide_children) - 1
+                    ch.append(("inner", wide_of[u]))
+                    todo.append((u, d + 1))
+                bx.append((lo[u], hi[u]))
+            wide_children[wi] = ch
+            wide_boxes[wi] = bx
+
+    return wide_children, wide_boxes, leaves, max(depth_of) + 1
+
+
+def build_wide_bvh(
+    p0: np.ndarray,
+    p1: np.ndarray,
+    p2: np.ndarray,
+    leaf_size: int = 8,
+    branch: int = BRANCH,
+    max_leaf: int = 4,
+    pack_boxes: str = "f32",
+) -> Dict[str, np.ndarray]:
+    """Triangles -> 8-wide flat BVH arrays (see module docstring)."""
+    b = build_bvh(p0, p1, p2, max_leaf=max_leaf)
+    return flatten_wide_rows(
+        b,
+        np.concatenate(
+            [p0.astype(np.float32),
+             (p1 - p0).astype(np.float32),
+             (p2 - p0).astype(np.float32)],
+            axis=-1,
+        ),
+        leaf_size=leaf_size,
+        branch=branch,
+        pack_boxes=pack_boxes,
+    )
+
+
+def flatten_wide_rows(
+    bvh: Dict[str, np.ndarray],
+    prim_rows: np.ndarray,   # [T, R] per-primitive payload
+    leaf_size: int = 8,
+    branch: int = BRANCH,
+    pack_boxes: str = "f32",    # "f32" (56-f32 rows) | "bf16" (32-f32 rows)
+) -> Dict[str, np.ndarray]:
+    """Generic (triangles/curve segments) wide flattening."""
+    left, right = bvh["left"], bvh["right"]
+    lo, hi = bvh["lo"], bvh["hi"]
+    wide_children, wide_boxes, leaves, depth = collapse_wide(
+        left, right, bvh["start"], bvh["count"], bvh["order"],
+        lo, hi, leaf_size, branch,
+    )
+    W = len(wide_children)
+    row_w = prim_rows.shape[1]
+
+    # ---- leaf rows -------------------------------------------------------
+    L = max(len(leaves), 1)
+    ids_mat = np.full((L, leaf_size), -1, np.int32)
+    for i, prim in enumerate(leaves):
+        assert len(prim) <= leaf_size, (len(prim), leaf_size)
+        ids_mat[i, : len(prim)] = prim
+    rows_mat = np.where(
+        (ids_mat >= 0)[:, :, None],
+        prim_rows[np.maximum(ids_mat, 0)],
+        np.float32(0.0),
+    ).astype(np.float32)
+    leaf_pack = np.concatenate(
+        [rows_mat.reshape(L, leaf_size * row_w), ids_mat.view(np.float32)],
+        axis=1,
+    )
+
+    # ---- node rows, one variant per direction octant ---------------------
+    # slot order within a row = ascending child-centroid projection onto the
+    # octant direction (near-first); empty slots sort last via +inf keys and
+    # carry meta NONE — the traversal masks them by meta, NOT by their
+    # inverted AABB: (3e38 - o) * inv_d overflows to ±inf on BOTH slabs for
+    # near-axis directions, turning the inverted box into an always-hit.
+    metas = np.full((W, branch), NONE, np.int32)
+    los = np.full((W, branch, 3), 3.0e38, np.float32)
+    his = np.full((W, branch, 3), -3.0e38, np.float32)
+    valid = np.zeros((W, branch), bool)
+    for wi, (ch, bx) in enumerate(zip(wide_children, wide_boxes)):
+        for si, ((kind, idx), (blo, bhi)) in enumerate(zip(ch, bx)):
+            metas[wi, si] = idx if kind == "inner" else ~np.int32(idx)
+            los[wi, si] = blo
+            his[wi, si] = bhi
+            valid[wi, si] = True
+
+    # conservative bf16 quantization: lo nudged down / hi up by more than
+    # one bf16 ulp before the round-to-nearest cast, so the quantized box
+    # CONTAINS the exact box (the slab test can only gain children)
+    import ml_dtypes
+
+    eps = np.float32(2.0 ** -7)
+    tiny = np.float32(1e-30)
+    lo_q = (los - np.abs(los) * eps - tiny).astype(ml_dtypes.bfloat16)
+    hi_q = (his + np.abs(his) * eps + tiny).astype(ml_dtypes.bfloat16)
+
+    cen = (los + his) * 0.5
+    half = branch * 3  # 24 packed f32 slots hold 48 bf16 coords
+    cols = (half if pack_boxes == "bf16" else branch * 6) + branch
+    out = np.empty((8, W, cols), np.float32)
+    for o in range(8):
+        sgn = np.asarray(
+            [1.0 if o & 1 else -1.0,
+             1.0 if o & 2 else -1.0,
+             1.0 if o & 4 else -1.0],
+            np.float32,
+        )
+        key = np.where(valid, np.einsum("wbk,k->wb", cen, sgn), np.inf)
+        perm = np.argsort(key, axis=1, kind="stable")     # [W, B]
+        r = np.arange(W)[:, None]
+        pmeta = metas[r, perm]
+        if pack_boxes == "bf16":
+            plo = lo_q[r, perm]
+            phi = hi_q[r, perm]
+            # split packing — slot k = lo_coord_k | hi_coord_k << 16 — so
+            # the kernel unpack is pure elementwise bit math (an interleaved
+            # pair layout needs a cross-lane shuffle)
+            lo_u = np.ascontiguousarray(plo.reshape(W, half)).view(np.uint16)
+            hi_u = np.ascontiguousarray(phi.reshape(W, half)).view(np.uint16)
+            packed = (
+                lo_u.astype(np.uint32) | (hi_u.astype(np.uint32) << 16)
+            ).view(np.float32)
+            out[o, :, :half] = packed
+            out[o, :, half:] = pmeta.view(np.float32)
+        else:
+            boxes = np.concatenate(
+                [los[r, perm], his[r, perm]], axis=-1
+            ).reshape(W, branch * 6)
+            out[o, :, : branch * 6] = boxes
+            out[o, :, branch * 6:] = pmeta.view(np.float32)
+
+    root = np.stack(
+        [np.min(np.where(valid[0][:, None], los[0], np.inf), axis=0),
+         np.max(np.where(valid[0][:, None], his[0], -np.inf), axis=0)]
+    ).astype(np.float32)
+
+    return {
+        "wnode": out,                                    # [8, W, 32]
+        "leaf_pack": leaf_pack,                          # [L, ls*(R/9*9+1)]
+        "leaf_ids": ids_mat,
+        "root": root,                                    # [2, 3] exact AABB
+        "depth": np.zeros((1, depth + 1), np.int32),     # static via shape
+        # (+1 safety slot over the exact max level count)
+    }

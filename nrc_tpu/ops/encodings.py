@@ -116,13 +116,25 @@ def _level_resolutions(cfg: NetworkConfig) -> tuple:
     )
 
 
+def _dense_levels(cfg: NetworkConfig) -> tuple:
+    """tcnn grid semantics (tiny-cuda-nn grid.h grid_index; configured by
+    ``NRCNetworkConfigs.h:96-105``): a level whose full vertex grid
+    (res+1)^3 fits the table is indexed DIRECTLY by stride — zero hash
+    collisions at coarse levels. Only levels that overflow the table hash.
+    """
+    size = 2 ** cfg.hash_log2_size
+    return tuple((r + 1) ** 3 <= size for r in _level_resolutions(cfg))
+
+
 def _corner_index_weight_all_levels(pos: jnp.ndarray, corner: int,
                                     cfg: NetworkConfig):
-    """Hash row + trilinear weight of one voxel corner, all levels at once.
+    """Table row + trilinear weight of one voxel corner, all levels at once.
 
     pos: [..., 3] -> (idx [..., L] int32 global row in [0, 2^log2),
     w [..., L] f32). Vectorizing the level axis keeps the gathers few and
-    wide (8 gathers of [B, L, F] instead of 8*L of [B, F]).
+    wide (8 gathers of [B, L, F] instead of 8*L of [B, F]). Coarse levels
+    with (res+1)^3 <= 2^log2_size index densely (collision-free, clamped
+    to the vertex grid); fine levels spatial-hash (Instant-NGP primes).
     """
     res = jnp.asarray(_level_resolutions(cfg), pos.dtype)  # [L]
     p = pos[..., None, :] * res[:, None]                   # [..., L, 3]
@@ -130,12 +142,26 @@ def _corner_index_weight_all_levels(pos: jnp.ndarray, corner: int,
     frac = p - p0
     p0 = p0.astype(jnp.int32)
     dx, dy, dz = (corner & 1), ((corner >> 1) & 1), ((corner >> 2) & 1)
+    vx = p0[..., 0] + dx
+    vy = p0[..., 1] + dy
+    vz = p0[..., 2] + dz
     h = (
-        (p0[..., 0] + dx).astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
-        ^ (p0[..., 1] + dy).astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
-        ^ (p0[..., 2] + dz).astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
+        vx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+        ^ vy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
+        ^ vz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
     )
-    idx = (h & jnp.uint32(2 ** cfg.hash_log2_size - 1)).astype(jnp.int32)
+    idx_hash = (h & jnp.uint32(2 ** cfg.hash_log2_size - 1)).astype(jnp.int32)
+    # dense stride index over the (res+1)^3 vertex grid, clamped in-range
+    # (inputs can stray outside [0,1]; hashed levels wrap via the hash)
+    verts = jnp.asarray(
+        [r + 1 for r in _level_resolutions(cfg)], jnp.int32
+    )  # [L]
+    cx = jnp.clip(vx, 0, verts - 1)
+    cy = jnp.clip(vy, 0, verts - 1)
+    cz = jnp.clip(vz, 0, verts - 1)
+    idx_dense = cx + verts * (cy + verts * cz)
+    dense = jnp.asarray(_dense_levels(cfg), bool)          # [L] static
+    idx = jnp.where(dense, idx_dense, idx_hash)
     w = (
         jnp.where(dx, frac[..., 0], 1.0 - frac[..., 0])
         * jnp.where(dy, frac[..., 1], 1.0 - frac[..., 1])

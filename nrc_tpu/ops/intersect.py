@@ -374,13 +374,9 @@ def _part_bits(v):
     return v
 
 
-def _coherence_key(org, direction, tmin, tmax, bvh):
+def _coherence_key(org, direction, tmin, tmax, root_lo, root_hi):
     """Sort key: [dead:1 | octant:3 | dir_q:6 | org_morton:15]. Dead lanes
     (empty t-range) sort last so they pool into chunks that exit at once."""
-    octants, block = bvh["node_box"].shape[0], bvh["node_box"].shape[1]
-    nodes_flat = bvh["node_box"].reshape(-1, 8)
-    root_lo = nodes_flat[0, 0:3]
-    root_hi = nodes_flat[0, 3:6]
     oct_ = (
         (direction[:, 0] > 0).astype(jnp.int32)
         | ((direction[:, 1] > 0).astype(jnp.int32) << 1)
@@ -398,10 +394,17 @@ def _coherence_key(org, direction, tmin, tmax, bvh):
 
 
 def chunked_over_rays(traverse_fn, org, direction, bvh, tmin, tmax):
-    """Coherence-sorted chunked wrapper shared by the triangle and curve
-    walks. ``traverse_fn(org, dir, tmin, tmax) -> (t, prim)`` runs per
+    """Coherence-sorted chunked wrapper shared by the triangle, wide, and
+    curve walks. ``traverse_fn(org, dir, tmin, tmax) -> (t, prim)`` runs per
     chunk; dead-lane padding uses tmin=1/tmax=0 (starts at the sentinel)
-    and the `_coherence_key` dead bit pools such lanes into tail chunks."""
+    and the `_coherence_key` dead bit pools such lanes into tail chunks.
+    ``bvh`` is either the skip-link dict (root box from ``node_box`` row 0)
+    or an explicit ``(root_lo, root_hi)`` pair."""
+    if isinstance(bvh, dict):
+        nodes_flat = bvh["node_box"].reshape(-1, 8)
+        root_lo, root_hi = nodes_flat[0, 0:3], nodes_flat[0, 3:6]
+    else:
+        root_lo, root_hi = bvh
     n = org.shape[0]
     if n < 2 * TRAVERSAL_CHUNK:
         return traverse_fn(org, direction, tmin, tmax)
@@ -414,7 +417,7 @@ def chunked_over_rays(traverse_fn, org, direction, bvh, tmin, tmax):
         tmin = jnp.concatenate([tmin, jnp.ones((pad,), tmin.dtype)])
         tmax = jnp.concatenate([tmax, jnp.zeros((pad,), tmax.dtype)])
     m = n + pad
-    key = _coherence_key(org, direction, tmin, tmax, bvh)
+    key = _coherence_key(org, direction, tmin, tmax, root_lo, root_hi)
     perm = jnp.argsort(key)
     c = m // TRAVERSAL_CHUNK
     so = org[perm].reshape(c, TRAVERSAL_CHUNK, 3)

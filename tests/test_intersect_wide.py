@@ -1,0 +1,155 @@
+"""8-wide BVH build + traversal vs brute force (identical hits).
+
+The wide path (``ops/bvh_wide.py`` + ``ops/intersect_wide.py``) replaces
+the binary skip-link walk for large scenes: one gathered row tests 8 child
+boxes. These tests pin exact winner agreement with the chunked brute force
+on random soups and on a reference asset, plus the build invariants.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nrc_tpu.ops.intersect import (
+    RT_MAX,
+    TriSoA,
+    intersect_bruteforce,
+    occluded_bruteforce,
+)
+from nrc_tpu.ops.bvh_wide import BRANCH, NONE, build_wide_bvh
+from nrc_tpu.ops.intersect_wide import intersect_wbvh, occluded_wbvh
+
+
+def _soup(T, seed=1, spread=0.3):
+    rng = np.random.default_rng(seed)
+    c = rng.random((T, 3)).astype(np.float32) * 10
+    p0 = c + rng.normal(size=(T, 3)).astype(np.float32) * spread
+    p1 = c + rng.normal(size=(T, 3)).astype(np.float32) * spread
+    p2 = c + rng.normal(size=(T, 3)).astype(np.float32) * spread
+    return p0, p1, p2
+
+
+def _rays(N, seed=2, lo=0.0, hi=10.0):
+    rng = np.random.default_rng(seed)
+    org = (lo + rng.random((N, 3)) * (hi - lo)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(org), jnp.asarray(d)
+
+
+def _assert_same_hits(a_prim, a_t, b_prim, b_t):
+    pa, pb = np.asarray(a_prim), np.asarray(b_prim)
+    ta, tb = np.asarray(a_t), np.asarray(b_t)
+    mism = np.nonzero(pa != pb)[0]
+    # different winner allowed only on an exact-t tie
+    real = [
+        i for i in mism
+        if abs(ta[i] - tb[i]) > 1e-5 * max(1.0, abs(tb[i]))
+    ]
+    assert not real, (len(real), real[:5])
+    same = (pa >= 0) & (pa == pb)
+    np.testing.assert_allclose(ta[same], tb[same], rtol=1e-5)
+
+
+class TestBuild:
+    def test_invariants(self):
+        p0, p1, p2 = _soup(2000)
+        wb = build_wide_bvh(p0, p1, p2)
+        octants, W, row_w = wb["wnode"].shape
+        assert octants == 8 and row_w in (BRANCH * 4, BRANCH * 7)
+        n_box = BRANCH * (3 if row_w == BRANCH * 4 else 6)
+        metas = wb["wnode"][:, :, n_box: n_box + BRANCH].view(np.int32)
+        inner = (metas >= 0) & (metas != NONE)
+        # inner children point inside the node table
+        assert metas[inner].max(initial=0) < W
+        # every leaf row referenced at most once per variant
+        leafs = np.where((metas < 0) & (metas != NONE), ~metas, -1)
+        L = wb["leaf_pack"].shape[0]
+        assert leafs.max() < L
+        # all prims present exactly once across leaves
+        ids = wb["leaf_ids"]
+        got = np.sort(ids[ids >= 0])
+        np.testing.assert_array_equal(got, np.arange(2000))
+        # every variant holds the same child SET per node (different order)
+        for o in range(1, 8):
+            a = np.sort(metas[0], axis=1)
+            b = np.sort(metas[o], axis=1)
+            np.testing.assert_array_equal(a, b)
+
+    def test_tiny_scene_single_leaf(self):
+        p0, p1, p2 = _soup(3)
+        wb = build_wide_bvh(p0, p1, p2)
+        tris = TriSoA.build(p0, p1, p2)
+        org, d = _rays(64)
+        tmin = jnp.zeros(64)
+        tmax = jnp.full((64,), RT_MAX)
+        a = intersect_wbvh(org, d, jax.tree.map(jnp.asarray, wb), tris, tmin, tmax)
+        b = intersect_bruteforce(org, d, tris, tmin, tmax)
+        _assert_same_hits(a.prim, a.t, b.prim, b.t)
+
+
+class TestTraversal:
+    @pytest.mark.parametrize("T,N", [(500, 777), (5000, 4100)])
+    def test_matches_bruteforce(self, T, N):
+        p0, p1, p2 = _soup(T)
+        tris = TriSoA.build(p0, p1, p2)
+        wb = jax.tree.map(jnp.asarray, build_wide_bvh(p0, p1, p2))
+        org, d = _rays(N)
+        tmin = np.zeros(N, np.float32)
+        tmax = np.full(N, RT_MAX, np.float32)
+        tmax[::13] = 0.0  # dead lanes
+        tmin[::7] = 0.5   # epsilon offsets
+        tmin_j, tmax_j = jnp.asarray(tmin), jnp.asarray(tmax)
+        a = intersect_wbvh(org, d, wb, tris, tmin_j, tmax_j)
+        b = intersect_bruteforce(org, d, tris, tmin_j, tmax_j)
+        _assert_same_hits(a.prim, a.t, b.prim, b.t)
+        # dead lanes report no hit
+        assert not np.asarray(a.prim[::13] >= 0).any()
+
+    def test_anyhit_matches(self):
+        p0, p1, p2 = _soup(3000)
+        tris = TriSoA.build(p0, p1, p2)
+        wb = jax.tree.map(jnp.asarray, build_wide_bvh(p0, p1, p2))
+        N = 2048
+        org, d = _rays(N)
+        tmin = jnp.full((N,), 1e-3)
+        tmax = jnp.full((N,), RT_MAX)
+        oa = occluded_wbvh(org, d, wb, tris, tmin, tmax)
+        ob = occluded_bruteforce(org, d, tris, tmin, tmax)
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+    def test_finite_tmax_segments(self):
+        # shadow-ray style: tmax = distance to a light point
+        p0, p1, p2 = _soup(1500, seed=5)
+        tris = TriSoA.build(p0, p1, p2)
+        wb = jax.tree.map(jnp.asarray, build_wide_bvh(p0, p1, p2))
+        N = 513
+        org, d = _rays(N, seed=6)
+        rng = np.random.default_rng(7)
+        tmax = jnp.asarray(rng.random(N).astype(np.float32) * 8.0)
+        tmin = jnp.full((N,), 1e-4)
+        a = intersect_wbvh(org, d, wb, tris, tmin, tmax)
+        b = intersect_bruteforce(org, d, tris, tmin, tmax)
+        _assert_same_hits(a.prim, a.t, b.prim, b.t)
+
+    def test_near_axis_directions(self):
+        # directions nearly parallel to axes exercise the inf-slab edge
+        # cases that broke the inverted-AABB empty-slot trick
+        p0, p1, p2 = _soup(800, seed=9)
+        tris = TriSoA.build(p0, p1, p2)
+        wb = jax.tree.map(jnp.asarray, build_wide_bvh(p0, p1, p2))
+        N = 384
+        rng = np.random.default_rng(10)
+        org = jnp.asarray(rng.random((N, 3)).astype(np.float32) * 10)
+        d = np.zeros((N, 3), np.float32)
+        ax = rng.integers(0, 3, N)
+        d[np.arange(N), ax] = np.where(rng.random(N) < 0.5, 1.0, -1.0)
+        d += rng.normal(size=(N, 3)).astype(np.float32) * 1e-9
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.asarray(d)
+        tmin = jnp.zeros(N)
+        tmax = jnp.full((N,), RT_MAX)
+        a = intersect_wbvh(org, d, wb, tris, tmin, tmax)
+        b = intersect_bruteforce(org, d, tris, tmin, tmax)
+        _assert_same_hits(a.prim, a.t, b.prim, b.t)

@@ -157,3 +157,56 @@ class TestOrbaxCheckpoint:
         ns2 = load_checkpoint(p, cfg)
         for a, b in zip(jax.tree.leaves(ns), jax.tree.leaves(ns2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDenseCoarseLevels:
+    """tcnn grid semantics: levels whose (res+1)^3 vertex grid fits the
+    table index densely — zero collisions (tiny-cuda-nn grid.h;
+    NRCNetworkConfigs.h:96-105 configures base_res 16 / log2_size 15, so
+    level 0 is dense, finer levels hash)."""
+
+    def test_default_config_level0_dense(self):
+        from nrc_tpu.ops.encodings import _dense_levels
+
+        cfg = NetworkConfig()
+        dense = _dense_levels(cfg)
+        assert dense[0] is True          # 17^3 = 4913 <= 32768
+        assert not any(dense[1:])        # 33^3 = 35937 > 32768
+
+    def test_dense_level_collision_free(self):
+        from nrc_tpu.ops.encodings import (
+            _corner_index_weight_all_levels,
+            _level_resolutions,
+        )
+
+        cfg = NetworkConfig()
+        res0 = _level_resolutions(cfg)[0]
+        # every vertex of level 0's grid through corner 0 at voxel (i,j,k)
+        g = jnp.stack(
+            jnp.meshgrid(*([jnp.arange(res0 + 1, dtype=jnp.float32)] * 3),
+                         indexing="ij"),
+            axis=-1,
+        ).reshape(-1, 3) / res0
+        # res is a power of two, so k/res*res reproduces k exactly
+        idx, _ = _corner_index_weight_all_levels(g, 0, cfg)
+        lvl0 = np.asarray(idx[:, 0])
+        # distinct vertices -> distinct rows, all in range
+        assert len(np.unique(lvl0)) == (res0 + 1) ** 3
+        assert lvl0.min() >= 0 and lvl0.max() < 2 ** cfg.hash_log2_size
+
+    def test_lookup_still_trains(self):
+        from nrc_tpu.ops import encodings as E
+
+        cfg = NetworkConfig()
+        key = jax.random.PRNGKey(0)
+        params = E.init_hash_grid(key, cfg)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+
+        def loss(p):
+            return jnp.sum(E.hash_grid_lookup(pos, p, cfg) ** 2)
+
+        g = jax.grad(loss)(params)
+        assert bool(jnp.any(g.table != 0.0))
+        out = E.hash_grid_lookup(pos, params, cfg)
+        assert out.shape == (64, cfg.hash_n_levels * cfg.hash_n_features_per_level)
+        assert bool(jnp.all(jnp.isfinite(out)))
