@@ -219,6 +219,7 @@ def _present_loop(args, driver, r, spp, t0):
     from .viewer import Viewer
 
     viewer = Viewer(port=args.port)
+    viewer.params_provider = lambda: _gui_params(r)
     print(f"presenting at {viewer.url} (ctrl-c to stop)")
     last_pub = 0.0
     i = 0
@@ -226,6 +227,8 @@ def _present_loop(args, driver, r, spp, t0):
         while True:
             if viewer.apply_events(r.scene.camera):
                 r.restart_accumulation()
+            for s in viewer.drain_settings():
+                _apply_setting(r, s)
             for act in viewer.drain_actions():
                 prefix = args.output or r.system.prefix_screenshot or "frame"
                 tag = f"{prefix}_{int(r.iteration)}spp"
@@ -266,6 +269,87 @@ def _present_loop(args, driver, r, spp, t0):
         pass
     finally:
         viewer.close()
+
+
+def _gui_params(r):
+    """Current GUI-editable state for the viewer control panel — the
+    reference's System window (render-mode radio, encoding combo,
+    tonemapper), Stats window (lr / unbiased-ratio / area-spread sliders),
+    and per-material Param_info editors (``Application.cpp:650-1068``,
+    ``inc/MaterialMDL.h:62-295``)."""
+    from ..config import RenderMode
+
+    tm = r.system.tonemapper
+    return {
+        "render_mode": r.cfg.render_mode.name,
+        "render_modes": [m.name for m in RenderMode],
+        "encoding": r.net_cfg.encoding.name.lower(),
+        "learning_rate": float(r.hyper.learning_rate),
+        "train_unbiased_ratio": float(r.hyper.train_unbiased_ratio),
+        "area_spread_factor": float(r.hyper.area_spread_factor),
+        "tonemapper": {
+            "gamma": tm.gamma, "white": tm.white_point,
+            "burn": tm.burn_highlights, "crush": tm.crush_blacks,
+            "sat": tm.saturation, "bright": tm.brightness,
+        },
+        "materials": [
+            {
+                "index": i,
+                "name": m.name,
+                "albedo": list(m.albedo),
+                "roughness": list(m.roughness),
+                "ior": float(m.ior),
+                "thin_walled": bool(m.thin_walled),
+                "emission_intensity": list(m.emission_intensity),
+            }
+            for i, m in enumerate(r.scene.material_rows)
+        ],
+    }
+
+
+def _apply_setting(r, s):
+    """Apply one queued control-panel edit to the renderer."""
+    import dataclasses as _dc
+
+    from ..config import RenderMode
+
+    key, raw = s["key"], s["value"]
+
+    def vec(txt, n):
+        parts = [float(x) for x in txt.split(",")]
+        return tuple((parts + parts[-1:] * n)[:n])
+
+    if s.get("material") is not None:
+        idx = s["material"]
+        if key in ("albedo", "emission_intensity"):
+            r.update_material(idx, **{key: vec(raw, 3)})
+        elif key == "roughness":
+            r.update_material(idx, roughness=vec(raw, 2))
+        elif key == "ior":
+            r.update_material(idx, ior=float(raw))
+        elif key == "thin_walled":
+            r.update_material(idx, thin_walled=bool(int(raw)))
+        return
+    if key == "render_mode":
+        r.set_render_mode(RenderMode[raw])
+    elif key == "encoding":
+        r.set_encoding(raw)
+    elif key == "learning_rate":
+        r.set_hyper_params(learning_rate=float(raw))
+    elif key == "train_unbiased_ratio":
+        r.set_hyper_params(train_unbiased_ratio=float(raw))
+    elif key == "area_spread_factor":
+        r.set_hyper_params(area_spread_factor=float(raw))
+        r.restart_accumulation()
+    elif key.startswith("tm_"):
+        field = {
+            "tm_gamma": "gamma", "tm_white": "white_point",
+            "tm_burn": "burn_highlights", "tm_crush": "crush_blacks",
+            "tm_sat": "saturation", "tm_bright": "brightness",
+        }[key]
+        r.system.tonemapper = _dc.replace(
+            r.system.tonemapper, **{field: float(raw)}
+        )
 
 
 def _render_loop(args, driver, r, spp, stats_f, t0):

@@ -37,9 +37,84 @@ img { image-rendering: pixelated; margin-top: 8px; cursor: grab; }
 <button onclick="fetch('/action?op=save_system')">save system [S]</button>
 <button onclick="fetch('/action?op=reset_cache')">reset cache</button>
 &middot; <span id="stats"></span></div>
+<div id="panel" style="padding:4px 6px; max-width: 760px;">
+<!-- render-mode radio + encoding combo + hyperparam sliders: the
+     reference's System/Stats ImGui windows (Application.cpp:650-1068) -->
+<span id="modes"></span> &middot; encoding
+<select id="enc" onchange="setp('encoding', this.value)">
+<option>frequency</option><option>hash</option></select>
+<br>
+lr <input id="lr" type="range" min="-5" max="-1" step="0.1" style="width:110px"
+ oninput="setp('learning_rate', Math.pow(10, +this.value)); lrv.textContent=Math.pow(10,+this.value).toExponential(1)">
+<span id="lrv"></span>
+&middot; unbiased 1/<input id="unb" type="number" min="1" max="64" value="16"
+ style="width:40px" onchange="setp('train_unbiased_ratio', 1/+this.value)">
+&middot; area spread c <input id="asf" type="number" step="0.005" value="0.01"
+ style="width:60px" onchange="setp('area_spread_factor', +this.value)">
+<br>
+tonemap: gamma <input id="tm_gamma" type="number" step="0.1" style="width:46px"
+ onchange="setp('tm_gamma', +this.value)">
+white <input id="tm_white" type="number" step="0.1" style="width:46px"
+ onchange="setp('tm_white', +this.value)">
+burn <input id="tm_burn" type="number" step="0.1" style="width:46px"
+ onchange="setp('tm_burn', +this.value)">
+crush <input id="tm_crush" type="number" step="0.05" style="width:46px"
+ onchange="setp('tm_crush', +this.value)">
+sat <input id="tm_sat" type="number" step="0.1" style="width:46px"
+ onchange="setp('tm_sat', +this.value)">
+bright <input id="tm_bright" type="number" step="0.1" style="width:46px"
+ onchange="setp('tm_bright', +this.value)">
+<br>
+<!-- per-material parameter editors: the Param_info analog
+     (inc/MaterialMDL.h:62-295) -->
+material <select id="mat" onchange="showMat()"></select>
+<span id="matedit"></span>
+</div>
 <img id="frame" src="/frame.png" draggable="false">
 <svg id="lossplot" width="512" height="48" style="margin-top:6px"></svg>
 </div><script>
+function setp(k, v) { fetch(`/set?key=${k}&value=${encodeURIComponent(v)}`); }
+let PARAMS = null;
+function showMat() {
+  if (!PARAMS) return;
+  const m = PARAMS.materials[+document.getElementById('mat').value];
+  const e = document.getElementById('matedit');
+  const rgb = (v) => v.map(x => (+x).toFixed(3)).join(',');
+  e.innerHTML =
+    ` albedo <input style="width:110px" value="${rgb(m.albedo)}"
+       onchange="setm(${m.index},'albedo',this.value)">` +
+    ` rough <input style="width:70px" value="${rgb(m.roughness.slice(0,2))}"
+       onchange="setm(${m.index},'roughness',this.value)">` +
+    ` ior <input style="width:44px" value="${m.ior}"
+       onchange="setm(${m.index},'ior',this.value)">` +
+    ` thin <input type="checkbox" ${m.thin_walled ? 'checked' : ''}
+       onchange="setm(${m.index},'thin_walled',this.checked?1:0)">` +
+    ` emission <input style="width:110px" value="${rgb(m.emission_intensity)}"
+       onchange="setm(${m.index},'emission_intensity',this.value)">`;
+}
+function setm(i, k, v) {
+  fetch(`/set?material=${i}&key=${k}&value=${encodeURIComponent(v)}`);
+}
+fetch('/params').then(r => r.json()).then(p => {
+  PARAMS = p;
+  const modes = document.getElementById('modes');
+  modes.innerHTML = p.render_modes.map(m =>
+    `<label><input type="radio" name="rm" value="${m}"
+      ${m === p.render_mode ? 'checked' : ''}
+      onchange="setp('render_mode', this.value)">${m.toLowerCase()}</label>`
+  ).join(' ');
+  document.getElementById('enc').value = p.encoding;
+  document.getElementById('lr').value = Math.log10(p.learning_rate);
+  document.getElementById('lrv').textContent = p.learning_rate.toExponential(1);
+  document.getElementById('unb').value = Math.round(1 / p.train_unbiased_ratio);
+  document.getElementById('asf').value = p.area_spread_factor;
+  for (const [k, v] of Object.entries(p.tonemapper))
+    { const el = document.getElementById('tm_' + k); if (el) el.value = v; }
+  const sel = document.getElementById('mat');
+  sel.innerHTML = p.materials.map((m, i) =>
+    `<option value="${i}">${m.name}</option>`).join('');
+  showMat();
+});
 const img = document.getElementById('frame');
 const stats = document.getElementById('stats');
 let drag = null;
@@ -97,6 +172,10 @@ class Viewer:
         self._lock = threading.Lock()
         self.events: "queue.Queue[tuple]" = queue.Queue()
         self.actions: "queue.Queue[str]" = queue.Queue()
+        # parameter edits (render mode / encoding / hyperparams / tonemapper
+        # / material fields) queued for the render loop, like camera verbs
+        self.settings: "queue.Queue[dict]" = queue.Queue()
+        self.params_provider = lambda: {}
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -124,6 +203,27 @@ class Viewer:
                     )
                     if op in ("orbit", "pan", "dolly", "zoom"):
                         viewer.events.put((op, args))
+                    body, ctype = b"ok", "text/plain"
+                elif url.path == "/params":
+                    # current GUI state (the reference rebuilds its ImGui
+                    # widgets from live state each frame; we serve it once
+                    # per page load)
+                    try:
+                        body = json.dumps(viewer.params_provider()).encode()
+                    except Exception as e:  # provider races with shutdown
+                        body = json.dumps({"error": repr(e)}).encode()
+                    ctype = "application/json"
+                elif url.path == "/set":
+                    q = parse_qs(url.query)
+                    viewer.settings.put(
+                        {
+                            "key": q.get("key", [""])[0],
+                            "value": q.get("value", [""])[0],
+                            "material": (
+                                int(q["material"][0]) if "material" in q else None
+                            ),
+                        }
+                    )
                     body, ctype = b"ok", "text/plain"
                 elif url.path == "/action":
                     # key-handler parity (Application.cpp:572-648): P/H
@@ -195,6 +295,16 @@ class Viewer:
         while True:
             try:
                 out.append(self.actions.get_nowait())
+            except queue.Empty:
+                break
+        return out
+
+    def drain_settings(self) -> list:
+        """Queued parameter edits from the control panel."""
+        out = []
+        while True:
+            try:
+                out.append(self.settings.get_nowait())
             except queue.Empty:
                 break
         return out

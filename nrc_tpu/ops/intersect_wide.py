@@ -165,27 +165,41 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
         # every lane is done or parked at a leaf
         do_leaf = lrow >= 0
         tri = wb["leaf_pack"][jnp.maximum(lrow, 0)]          # [N, ls*10]
-        for k in range(0 if _SKIP_LEAF else leaf_size):
-            p0 = tri[:, 9 * k: 9 * k + 3]
-            e1 = tri[:, 9 * k + 3: 9 * k + 6]
-            e2 = tri[:, 9 * k + 6: 9 * k + 9]
-            pid = tri[:, 9 * leaf_size + k].view(jnp.int32)
-            pvec = jnp.cross(direction, e2)
-            det = jnp.sum(e1 * pvec, axis=-1)
+        if not _SKIP_LEAF:
+            # all leaf_size triangles tested as ONE set of [N, ls]-shaped
+            # ops (a per-triangle unrolled loop emits ~15*ls tiny [N] ops,
+            # each dispatch-bound at this size — measured 165 us/round vs
+            # ~5 us for the equally-sized descend step math)
+            blk = tri[:, : 9 * leaf_size].reshape(n, leaf_size, 9)
+            p0 = blk[..., 0:3]
+            e1 = blk[..., 3:6]
+            e2 = blk[..., 6:9]
+            pid = tri[:, 9 * leaf_size:].view(jnp.int32)     # [N, ls]
+            dirn = direction[:, None, :]
+            pvec = jnp.cross(dirn, e2)
+            det = jnp.sum(e1 * pvec, axis=-1)                # [N, ls]
             ok = jnp.abs(det) > 1e-12
             invd = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-            tvec = org - p0
+            tvec = org[:, None, :] - p0
             u = jnp.sum(tvec * pvec, axis=-1) * invd
             qvec = jnp.cross(tvec, e1)
-            v = jnp.sum(direction * qvec, axis=-1) * invd
+            v = jnp.sum(dirn * qvec, axis=-1) * invd
             t = jnp.sum(e2 * qvec, axis=-1) * invd
+            cap = jnp.minimum(tmax, best_t)
             ok = (
-                do_leaf & ok & (pid >= 0)
+                do_leaf[:, None] & ok & (pid >= 0)
                 & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > tmin) & (t < jnp.minimum(tmax, best_t))
+                & (t > tmin[:, None]) & (t < cap[:, None])
             )
-            best_t = jnp.where(ok, t, best_t)
-            best_prim = jnp.where(ok, pid, best_prim)
+            t_ok = jnp.where(ok, t, RT_MAX)
+            k_best = jnp.argmin(t_ok, axis=1)                # [N]
+            t_best = jnp.min(t_ok, axis=1)
+            hit_any = t_best < cap
+            pid_best = jnp.take_along_axis(
+                pid, k_best[:, None], axis=1
+            )[:, 0]
+            best_t = jnp.where(hit_any, t_best, best_t)
+            best_prim = jnp.where(hit_any, pid_best, best_prim)
         lrow = jnp.full((n,), -1, jnp.int32)
         if any_hit:
             done = done | (best_prim >= 0)

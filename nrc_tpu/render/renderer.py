@@ -137,6 +137,45 @@ class Renderer:
         self.cfg = dataclasses.replace(self.cfg, render_mode=mode)
         self.restart_accumulation()
 
+    def set_encoding(self, encoding, seed: int = 0) -> None:
+        """Live input-encoding switch (the reference GUI combo re-creates
+        the tcnn model with the per-encoding learning rate and resets the
+        cache, ``Application.cpp:671-689`` -> ``Device.cpp:2409-2421``)."""
+        from ..config import InputEncoding
+
+        if isinstance(encoding, str):
+            encoding = InputEncoding[encoding.upper()]
+        if encoding == self.net_cfg.encoding:
+            return
+        self.net_cfg = dataclasses.replace(self.net_cfg, encoding=encoding)
+        # per-encoding default lr (NetworkConfig.learning_rate derives it,
+        # matching cfg::modelConfig's 1e-3 freq / 1e-2 hash)
+        self.hyper = dataclasses.replace(
+            self.hyper, learning_rate=self.net_cfg.learning_rate
+        )
+        # compiled steps capture net_cfg — the encoding switch invalidates
+        # them (the analog of the reference's full re-create_from_config)
+        self._step_cache = {}
+        self.net_state = N.init_network(jax.random.PRNGKey(seed), self.net_cfg)
+        self.restart_accumulation()
+
+    def update_material(self, index: int, **changes) -> None:
+        """Live material-parameter edit (the reference GUI's per-material
+        MDL argument-block editors, ``MaterialMDL.h:62-295`` Param_info ->
+        ``Device::updateMaterial``, ``Device.cpp:1700-1722``). ``changes``
+        are ``scene.materials.Material`` field overrides; geometry, BVH,
+        and texture decodes are reused — only the material-derived device
+        arrays re-upload."""
+        from ..scene.materials import MaterialTable
+        from .scene_device import patch_materials
+
+        rows = self.scene.material_rows
+        rows[index] = dataclasses.replace(rows[index], **changes)
+        atlas = self.scene.materials.atlas
+        self.scene.materials = MaterialTable.build(rows, atlas=atlas)
+        self.device_scene = patch_materials(self.device_scene, self.scene)
+        self.restart_accumulation()
+
     def _camera_arrays(self) -> CameraArrays:
         p, u, v, w = self.scene.camera.frustum()
         return CameraArrays(

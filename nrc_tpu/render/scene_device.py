@@ -94,7 +94,11 @@ class DeviceScene(NamedTuple):
         return self.tris.num
 
 
-def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
+
+def _material_arrays(scene: Scene) -> dict:
+    """Material-derived DeviceScene fields (shared by ``upload_scene`` and
+    ``patch_materials``). Everything here is cheap per-material numpy ->
+    device upload; geometry/BVH/curves are untouched."""
     mt = scene.materials
 
     # Emitted radiance of each material's diffuse EDF: intensity * edf(1/pi)
@@ -121,48 +125,7 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
         if mid >= 0:
             lr[li] = emission_radiance[mid]
 
-    bvh = None
-    if use_bvh is None:
-        use_bvh = scene.num_triangles > 16384
-    if use_bvh and scene.num_triangles > 0:
-        from ..ops.bvh import build_bvh, flatten_skip_links
-
-        flat = flatten_skip_links(
-            build_bvh(scene.p0, scene.p1, scene.p2),
-            scene.p0, scene.p1, scene.p2,
-        )
-        bvh = {k: jnp.asarray(v) for k, v in flat.items()}
-
-    curves = curve_bvh = None
-    if scene.curves is not None and scene.curves.num > 0:
-        from ..ops.curve_intersect import CurveSoA, build_curve_bvh
-
-        curves = CurveSoA.build(scene.curves)
-        curve_bvh = {
-            k: jnp.asarray(v) for k, v in build_curve_bvh(scene.curves).items()
-        }
-
-    return DeviceScene(
-        tris=TriSoA.build(scene.p0, scene.p1, scene.p2),
-        n0=jnp.asarray(scene.n0),
-        n1=jnp.asarray(scene.n1),
-        n2=jnp.asarray(scene.n2),
-        tri_material=jnp.asarray(scene.material_id, jnp.int32),
-        tri_light=jnp.asarray(scene.light_id, jnp.int32),
-        uv0=jnp.asarray(scene.uv0),
-        uv1=jnp.asarray(scene.uv1),
-        uv2=jnp.asarray(scene.uv2),
-        tri_pack=jnp.asarray(
-            np.concatenate([scene.n0, scene.n1, scene.n2], axis=-1),
-            jnp.float32,
-        ),
-        tri_uvpack=jnp.asarray(
-            np.concatenate([scene.uv0, scene.uv1, scene.uv2], axis=-1),
-            jnp.float32,
-        ),
-        tri_meta=jnp.asarray(
-            np.stack([scene.material_id, scene.light_id], axis=-1), jnp.int32
-        ),
+    return dict(
         mat_pack=jnp.asarray(
             np.concatenate(
                 [
@@ -219,7 +182,63 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
             has_part=jnp.asarray(mt.mbsdf.has_part),
         ),
         lights=upload_lights(scene.lights, lr),
+    )
+
+
+def patch_materials(dev: DeviceScene, scene: Scene) -> DeviceScene:
+    """Re-derive the material-dependent device arrays after a live material
+    edit (the analog of the reference GUI editing an MDL argument block and
+    re-uploading it, ``Device::updateMaterial``, ``Device.cpp:1700-1722``)
+    WITHOUT rebuilding geometry, BVH, or curve tables."""
+    return dev._replace(**_material_arrays(scene))
+
+
+def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
+    bvh = None
+    if use_bvh is None:
+        use_bvh = scene.num_triangles > 16384
+    if use_bvh and scene.num_triangles > 0:
+        from ..ops.bvh import build_bvh, flatten_skip_links
+
+        flat = flatten_skip_links(
+            build_bvh(scene.p0, scene.p1, scene.p2),
+            scene.p0, scene.p1, scene.p2,
+        )
+        bvh = {k: jnp.asarray(v) for k, v in flat.items()}
+
+    curves = curve_bvh = None
+    if scene.curves is not None and scene.curves.num > 0:
+        from ..ops.curve_intersect import CurveSoA, build_curve_bvh
+
+        curves = CurveSoA.build(scene.curves)
+        curve_bvh = {
+            k: jnp.asarray(v) for k, v in build_curve_bvh(scene.curves).items()
+        }
+
+    return DeviceScene(
+        tris=TriSoA.build(scene.p0, scene.p1, scene.p2),
+        n0=jnp.asarray(scene.n0),
+        n1=jnp.asarray(scene.n1),
+        n2=jnp.asarray(scene.n2),
+        tri_material=jnp.asarray(scene.material_id, jnp.int32),
+        tri_light=jnp.asarray(scene.light_id, jnp.int32),
+        uv0=jnp.asarray(scene.uv0),
+        uv1=jnp.asarray(scene.uv1),
+        uv2=jnp.asarray(scene.uv2),
+        tri_pack=jnp.asarray(
+            np.concatenate([scene.n0, scene.n1, scene.n2], axis=-1),
+            jnp.float32,
+        ),
+        tri_uvpack=jnp.asarray(
+            np.concatenate([scene.uv0, scene.uv1, scene.uv2], axis=-1),
+            jnp.float32,
+        ),
+        tri_meta=jnp.asarray(
+            np.stack([scene.material_id, scene.light_id], axis=-1), jnp.int32
+        ),
+        **_material_arrays(scene),
         bvh=bvh,
         curves=curves,
         curve_bvh=curve_bvh,
     )
+

@@ -157,12 +157,16 @@ class MaterialTable:
     mbsdf: object = None                 # scene.mbsdf.MBSDFTableHost
 
     @staticmethod
-    def build(materials: list[Material]) -> "MaterialTable":
+    def build(materials: list[Material], atlas=None) -> "MaterialTable":
+        """``atlas``: pass an existing TextureAtlas to reuse its decoded
+        textures (its (path, gamma) dedup makes the re-adds free) — used by
+        live material edits so a parameter tweak never re-decodes images."""
         if not materials:
             materials = [Material()]
         from .texture import TextureAtlas
 
-        atlas = TextureAtlas.empty()
+        if atlas is None:
+            atlas = TextureAtlas.empty()
 
         def tex(path: str, srgb: bool) -> int:
             return atlas.add(path, srgb) if path else -1

@@ -84,3 +84,93 @@ def test_action_endpoint():
         assert b"screenshot_png" in page and b"keydown" in page
     finally:
         v.close()
+
+
+def test_params_and_set_endpoints():
+    """Control-panel endpoints: /params serves the GUI state (render-mode
+    radio, encoding combo, sliders, material Param_info analog) and /set
+    queues edits for the render loop."""
+    import json
+    import urllib.request
+
+    from nrc_tpu.app.viewer import Viewer
+
+    v = Viewer(port=0)
+    try:
+        v.params_provider = lambda: {
+            "render_mode": "FULL",
+            "render_modes": ["FULL", "NO_CACHE"],
+            "encoding": "frequency",
+            "learning_rate": 1e-3,
+            "train_unbiased_ratio": 1 / 16,
+            "area_spread_factor": 0.01,
+            "tonemapper": {"gamma": 2.2},
+            "materials": [{"index": 0, "name": "m", "albedo": [1, 1, 1],
+                           "roughness": [0, 0], "ior": 1.5,
+                           "thin_walled": False,
+                           "emission_intensity": [0, 0, 0]}],
+        }
+        got = json.loads(
+            urllib.request.urlopen(v.url + "params", timeout=5).read()
+        )
+        assert got["render_mode"] == "FULL"
+        assert got["materials"][0]["name"] == "m"
+
+        urllib.request.urlopen(
+            v.url + "set?key=learning_rate&value=0.01", timeout=5
+        ).read()
+        urllib.request.urlopen(
+            v.url + "set?material=0&key=albedo&value=0.9%2C0.1%2C0.1",
+            timeout=5,
+        ).read()
+        edits = v.drain_settings()
+        assert edits[0] == {
+            "key": "learning_rate", "value": "0.01", "material": None
+        }
+        assert edits[1]["material"] == 0 and edits[1]["key"] == "albedo"
+    finally:
+        v.close()
+
+
+def test_apply_setting_roundtrip():
+    """_apply_setting drives the real renderer methods (encoding re-init,
+    hyperparams, tonemapper, material edit)."""
+    from nrc_tpu.app.cli import _apply_setting, _gui_params
+    from nrc_tpu.config import RenderMode
+    from nrc_tpu.render.renderer import Renderer
+    from nrc_tpu.scene.scene_builder import load_scene
+
+    scene, system = load_scene(
+        "/root/reference/data/system_mdl_cornell.txt",
+        "/root/reference/data/scene_mdl_cornell.txt",
+    )
+    system.resolution = (32, 32)
+    r = Renderer(scene, system, train=False, adaptive_tiles=False)
+
+    _apply_setting(r, {"key": "render_mode", "value": "NO_CACHE",
+                       "material": None})
+    assert r.cfg.render_mode == RenderMode.NO_CACHE
+    _apply_setting(r, {"key": "learning_rate", "value": "0.005",
+                       "material": None})
+    assert abs(r.hyper.learning_rate - 0.005) < 1e-9
+    _apply_setting(r, {"key": "tm_gamma", "value": "1.8", "material": None})
+    assert abs(r.system.tonemapper.gamma - 1.8) < 1e-9
+    _apply_setting(r, {"key": "albedo", "value": "0.9,0.1,0.1",
+                       "material": 0})
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(r.device_scene.mat_albedo[0]), [0.9, 0.1, 0.1], rtol=1e-6
+    )
+    # encoding switch re-creates the network (Device.cpp:2409-2421)
+    w_before = r.net_state.params
+    _apply_setting(r, {"key": "encoding", "value": "hash", "material": None})
+    from nrc_tpu.config import InputEncoding
+
+    assert r.net_cfg.encoding == InputEncoding.HASH
+    assert abs(r.hyper.learning_rate - 1e-2) < 1e-12
+    assert type(r.net_state.params) is not type(None)
+    assert r.net_state.params is not w_before
+    p = _gui_params(r)
+    assert p["encoding"] == "hash"
+    assert p["materials"][0]["albedo"] == [0.9, 0.1, 0.1]
