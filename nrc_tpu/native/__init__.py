@@ -75,5 +75,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.bvh_collapse_wide.restype = ctypes.c_int32
+        lib.bvh_collapse_wide.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,            # left, right
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # start,count,order
+            ctypes.c_void_p, ctypes.c_void_p,            # lo, hi
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # n, leaf_size, branch
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # meta, box, leaf_ids
+            ctypes.c_void_p,                             # out_counts[3]
+        ]
         _lib = lib
         return _lib

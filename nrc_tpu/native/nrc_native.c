@@ -344,3 +344,166 @@ EXPORT void bvh_collapse_sizes(
     }
     free(stk);
 }
+
+/* ------------------------------------------------------------------ */
+/* Wide (branch-N) BVH collapse                                        */
+/* ------------------------------------------------------------------ */
+
+/* Collapse the binary SAH tree into wide nodes for the 8-wide TPU
+ * traversal (ops/bvh_wide.py). Child sets grow by greedily expanding the
+ * largest-surface-area inner child whose subtree exceeds leaf_size until
+ * `branch` slots are used; subtrees fitting leaf_size become leaf
+ * children. Mirrors the Python fallback in bvh_wide.collapse_wide.
+ *
+ * Outputs (caller-allocated; capacities: child_* for n_old wide nodes,
+ * leaf_ids for n_old leaves):
+ *   child_meta [Wcap*branch]  wide child idx | ~leaf_idx | INT32_MIN empty
+ *   child_box  [Wcap*branch*6] child lo3|hi3
+ *   leaf_ids   [Lcap*leaf_size] prim ids, -1 padded
+ *   out_counts [3] = { W, L, depth_levels }
+ * Returns W (number of wide nodes), or -1 on allocation failure. */
+EXPORT int32_t bvh_collapse_wide(
+    const int32_t *left, const int32_t *right,
+    const int32_t *start, const int32_t *count, const int32_t *order,
+    const float *lo, const float *hi,
+    int32_t n_old, int32_t leaf_size, int32_t branch,
+    int32_t *child_meta, float *child_box, int32_t *leaf_ids,
+    int32_t *out_counts)
+{
+    const int32_t NONE_META = (int32_t)0x80000000;
+    if (n_old <= 0) return -1;
+    int64_t *prims = (int64_t *)malloc(sizeof(int64_t) * (size_t)n_old);
+    float *area = (float *)malloc(sizeof(float) * (size_t)n_old);
+    int32_t *stk = (int32_t *)malloc(sizeof(int32_t) * 4 * (size_t)n_old + 16);
+    if (!prims || !area || !stk) {
+        free(prims); free(area); free(stk);
+        return -1;
+    }
+    /* subtree prim counts (post-order) + surface areas */
+    int32_t sp = 0;
+    stk[sp++] = 0;
+    while (sp > 0) {
+        int32_t e = stk[--sp];
+        int32_t node = e & 0x7FFFFFFF;
+        if (e < 0) {
+            prims[node] = prims[left[node]] + prims[right[node]];
+        } else if (left[node] < 0) {
+            prims[node] = count[node];
+        } else {
+            stk[sp++] = node | (int32_t)0x80000000;
+            stk[sp++] = left[node];
+            stk[sp++] = right[node];
+        }
+    }
+    for (int32_t i = 0; i < n_old; i++) {
+        float ex = hi[i * 3 + 0] - lo[i * 3 + 0];
+        float ey = hi[i * 3 + 1] - lo[i * 3 + 1];
+        float ez = hi[i * 3 + 2] - lo[i * 3 + 2];
+        if (ex < 0) ex = 0; if (ey < 0) ey = 0; if (ez < 0) ez = 0;
+        area[i] = 2.0f * (ex * ey + ey * ez + ez * ex);
+    }
+
+    int32_t W = 0, L = 0, max_depth = 0;
+    /* DFS todo: (binary node, wide idx, depth) triples */
+    int32_t *todo = stk;  /* reuse; 4*n capacity is plenty (3 per entry) */
+    int32_t tp = 0;
+
+#define COLLECT_LEAF(v) do {                                               \
+        int32_t li = L++;                                                  \
+        int32_t *dst = leaf_ids + (int64_t)li * leaf_size;                 \
+        int32_t nfill = 0;                                                 \
+        int32_t cst[128]; int32_t csp = 0;                                 \
+        cst[csp++] = (v);                                                  \
+        while (csp > 0) {                                                  \
+            int32_t u2 = cst[--csp];                                       \
+            if (left[u2] < 0) {                                            \
+                for (int32_t k = 0; k < count[u2]; k++)                    \
+                    dst[nfill++] = order[start[u2] + k];                   \
+            } else {                                                       \
+                cst[csp++] = right[u2];                                    \
+                cst[csp++] = left[u2];                                     \
+            }                                                              \
+        }                                                                  \
+        for (int32_t k = nfill; k < leaf_size; k++) dst[k] = -1;           \
+    } while (0)
+
+    if (prims[0] <= leaf_size || left[0] < 0) {
+        /* degenerate scene: one wide node, one leaf child */
+        for (int32_t s = 0; s < branch; s++) {
+            child_meta[s] = NONE_META;
+            for (int32_t k = 0; k < 6; k++)
+                child_box[(int64_t)s * 6 + k] = (k < 3) ? 3.0e38f : -3.0e38f;
+        }
+        child_meta[0] = ~0;  /* leaf 0 */
+        for (int32_t k = 0; k < 3; k++) {
+            child_box[k] = lo[k];
+            child_box[3 + k] = hi[k];
+        }
+        COLLECT_LEAF(0);
+        W = 1;
+        max_depth = 0;
+    } else {
+        W = 1;
+        todo[tp++] = 0;  /* binary node */
+        todo[tp++] = 0;  /* wide idx */
+        todo[tp++] = 0;  /* depth */
+        int32_t slots[64];
+        while (tp > 0) {
+            int32_t d = todo[--tp];
+            int32_t wi = todo[--tp];
+            int32_t v = todo[--tp];
+            if (d > max_depth) max_depth = d;
+            int32_t ns = 2;
+            slots[0] = left[v];
+            slots[1] = right[v];
+            while (ns < branch) {
+                int32_t best = -1;
+                float best_a = -1.0f;
+                for (int32_t i = 0; i < ns; i++) {
+                    int32_t u = slots[i];
+                    if (left[u] >= 0 && prims[u] > leaf_size
+                        && area[u] > best_a) {
+                        best = i;
+                        best_a = area[u];
+                    }
+                }
+                if (best < 0) break;
+                int32_t u = slots[best];
+                slots[best] = slots[--ns];  /* remove: swap with last */
+                slots[ns++] = left[u];
+                slots[ns++] = right[u];
+            }
+            int32_t *meta_row = child_meta + (int64_t)wi * branch;
+            float *box_row = child_box + (int64_t)wi * branch * 6;
+            for (int32_t s = 0; s < branch; s++) {
+                meta_row[s] = NONE_META;
+                for (int32_t k = 0; k < 6; k++)
+                    box_row[(int64_t)s * 6 + k] = (k < 3) ? 3.0e38f : -3.0e38f;
+            }
+            for (int32_t s = 0; s < ns; s++) {
+                int32_t u = slots[s];
+                for (int32_t k = 0; k < 3; k++) {
+                    box_row[(int64_t)s * 6 + k] = lo[u * 3 + k];
+                    box_row[(int64_t)s * 6 + 3 + k] = hi[u * 3 + k];
+                }
+                if (left[u] < 0 || prims[u] <= leaf_size) {
+                    meta_row[s] = ~L;  /* leaf about to be emitted */
+                    COLLECT_LEAF(u);
+                } else {
+                    meta_row[s] = W;
+                    todo[tp++] = u;
+                    todo[tp++] = W;
+                    todo[tp++] = d + 1;
+                    W++;
+                }
+            }
+        }
+    }
+#undef COLLECT_LEAF
+
+    out_counts[0] = W;
+    out_counts[1] = L;
+    out_counts[2] = max_depth + 1;
+    free(prims); free(area); free(stk);
+    return W;
+}

@@ -155,6 +155,69 @@ def collapse_wide(
     return wide_children, wide_boxes, leaves, max(depth_of) + 1
 
 
+
+def collapse_wide_arrays(
+    bvh: Dict[str, np.ndarray], leaf_size: int, branch: int = BRANCH
+):
+    """Collapse to flat arrays: (metas [W,B] i32, los/his [W,B,3] f32,
+    ids_mat [L,leaf_size] i32, depth_levels). Native C fast path
+    (``nrc_native.c::bvh_collapse_wide``; the Python walk took ~45 s on the
+    486k-tri scene) with the pure-Python fallback below it."""
+    left = np.ascontiguousarray(bvh["left"], np.int32)
+    right = np.ascontiguousarray(bvh["right"], np.int32)
+    start = np.ascontiguousarray(bvh["start"], np.int32)
+    count = np.ascontiguousarray(bvh["count"], np.int32)
+    order = np.ascontiguousarray(bvh["order"], np.int32)
+    lo = np.ascontiguousarray(bvh["lo"], np.float32)
+    hi = np.ascontiguousarray(bvh["hi"], np.float32)
+    n_old = left.shape[0]
+
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "bvh_collapse_wide"):
+        meta = np.empty((n_old, branch), np.int32)
+        box = np.empty((n_old, branch, 6), np.float32)
+        ids = np.empty((n_old, max(leaf_size, 1)), np.int32)
+        cnt = np.zeros(3, np.int32)
+        got = lib.bvh_collapse_wide(
+            left.ctypes.data, right.ctypes.data,
+            start.ctypes.data, count.ctypes.data, order.ctypes.data,
+            lo.ctypes.data, hi.ctypes.data,
+            np.int32(n_old), np.int32(leaf_size), np.int32(branch),
+            meta.ctypes.data, box.ctypes.data, ids.ctypes.data,
+            cnt.ctypes.data,
+        )
+        if got > 0:
+            W, L, depth = int(cnt[0]), int(cnt[1]), int(cnt[2])
+            return (
+                meta[:W].copy(),
+                box[:W, :, 0:3].copy(),
+                box[:W, :, 3:6].copy(),
+                ids[:max(L, 1)].copy(),
+                depth,
+            )
+
+    wide_children, wide_boxes, leaves, depth = collapse_wide(
+        left, right, start, count, order, lo, hi, leaf_size, branch
+    )
+    W = len(wide_children)
+    metas = np.full((W, branch), NONE, np.int32)
+    los = np.full((W, branch, 3), 3.0e38, np.float32)
+    his = np.full((W, branch, 3), -3.0e38, np.float32)
+    for wi, (ch, bx) in enumerate(zip(wide_children, wide_boxes)):
+        for si, ((kind, idx), (blo, bhi)) in enumerate(zip(ch, bx)):
+            metas[wi, si] = idx if kind == "inner" else ~np.int32(idx)
+            los[wi, si] = blo
+            his[wi, si] = bhi
+    L = max(len(leaves), 1)
+    ids_mat = np.full((L, leaf_size), -1, np.int32)
+    for i, prim in enumerate(leaves):
+        assert len(prim) <= leaf_size, (len(prim), leaf_size)
+        ids_mat[i, : len(prim)] = prim
+    return metas, los, his, ids_mat, depth
+
+
 def build_wide_bvh(
     p0: np.ndarray,
     p1: np.ndarray,
@@ -188,21 +251,14 @@ def flatten_wide_rows(
     pack_boxes: str = "f32",    # "f32" (56-f32 rows) | "bf16" (32-f32 rows)
 ) -> Dict[str, np.ndarray]:
     """Generic (triangles/curve segments) wide flattening."""
-    left, right = bvh["left"], bvh["right"]
-    lo, hi = bvh["lo"], bvh["hi"]
-    wide_children, wide_boxes, leaves, depth = collapse_wide(
-        left, right, bvh["start"], bvh["count"], bvh["order"],
-        lo, hi, leaf_size, branch,
+    metas, los, his, ids_mat, depth = collapse_wide_arrays(
+        bvh, leaf_size, branch
     )
-    W = len(wide_children)
+    W = metas.shape[0]
+    L = ids_mat.shape[0]
     row_w = prim_rows.shape[1]
 
     # ---- leaf rows -------------------------------------------------------
-    L = max(len(leaves), 1)
-    ids_mat = np.full((L, leaf_size), -1, np.int32)
-    for i, prim in enumerate(leaves):
-        assert len(prim) <= leaf_size, (len(prim), leaf_size)
-        ids_mat[i, : len(prim)] = prim
     rows_mat = np.where(
         (ids_mat >= 0)[:, :, None],
         prim_rows[np.maximum(ids_mat, 0)],
@@ -219,16 +275,7 @@ def flatten_wide_rows(
     # carry meta NONE — the traversal masks them by meta, NOT by their
     # inverted AABB: (3e38 - o) * inv_d overflows to ±inf on BOTH slabs for
     # near-axis directions, turning the inverted box into an always-hit.
-    metas = np.full((W, branch), NONE, np.int32)
-    los = np.full((W, branch, 3), 3.0e38, np.float32)
-    his = np.full((W, branch, 3), -3.0e38, np.float32)
-    valid = np.zeros((W, branch), bool)
-    for wi, (ch, bx) in enumerate(zip(wide_children, wide_boxes)):
-        for si, ((kind, idx), (blo, bhi)) in enumerate(zip(ch, bx)):
-            metas[wi, si] = idx if kind == "inner" else ~np.int32(idx)
-            los[wi, si] = blo
-            his[wi, si] = bhi
-            valid[wi, si] = True
+    valid = metas != NONE
 
     # conservative bf16 quantization: lo nudged down / hi up by more than
     # one bf16 ulp before the round-to-nearest cast, so the quantized box
