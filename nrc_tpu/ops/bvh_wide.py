@@ -11,23 +11,22 @@ the traversal hardware is opaque — we replace it, not translate it).
 
 Output arrays (consumed by ``ops/intersect_wide.py``):
 
-- ``wnode`` [8, W, 32] f32: per direction-octant variant, per wide node:
-  slots 0:24 hold the 8 children's (lo3 | hi3) boxes as 48 bf16 values
-  packed pairwise into f32 bit patterns (value 2k in the low 16 bits of
-  slot k, value 2k+1 in the high bits); slots 24:32 hold 8 bitcast-i32
-  child metas. Boxes are CONSERVATIVELY rounded (lo down, hi up) so the
-  bf16 slab test can only pass extra children, never lose one — winners
-  stay exact because leaf triangle tests run in full f32. The 32-f32 row
-  gathers at the same per-row cost as the binary walk's 8-f32 row
-  (measured: TPU row-gather cost is flat to ~32 f32, ~1.65x at 56).
+- ``wnode`` [8, W, 56] f32: per direction-octant variant, per wide node:
+  COMPONENT-major child boxes — lox*8 | loy*8 | loz*8 | hix*8 | hiy*8 |
+  hiz*8 — followed by 8 bitcast-i32 child metas. Component-major keeps
+  every slab-test op a full-width [N, 8] elementwise with no minor-dim-3
+  axis (a packed per-child (lo3|hi3) layout relayout-shuffles each
+  min/max; same lesson as intersect._mt_hits). A bf16-packed 32-f32 row
+  variant measured STRICTLY slower (the unpack bit math runs on tiny
+  minor dims), as did plain f32 gathers of width 80 — gathers here are a
+  few us per step, the VPU layout of the step math is what matters.
   meta >= 0 -> inner child (wide node index); meta < 0 -> leaf child
   (leaf row = ~meta); meta == NONE -> empty slot. Children within a row
   are sorted near-first for that octant (ascending centroid projection
   onto the octant direction) — the stackless substitute for ordered
   descent.
-- ``leaf_pack`` [L, leaf_size*10] f32: leaf_size x (p0|e1|e2) triangle
-  rows + leaf_size bitcast prim ids (-1 padding) — same layout as the
-  binary path's leaf rows.
+- ``leaf_pack`` [L, leaf_size*10] f32: component-major triangle columns
+  (p0x*ls | p0y*ls | ... | e2z*ls) + ls bitcast prim ids (-1 padding).
 - ``depth`` [1, D] i32 (shape-carried static): max wide-tree depth, the
   traversal's stack bound.
 """
@@ -225,7 +224,6 @@ def build_wide_bvh(
     leaf_size: int = 8,
     branch: int = BRANCH,
     max_leaf: int = 4,
-    pack_boxes: str = "f32",
 ) -> Dict[str, np.ndarray]:
     """Triangles -> 8-wide flat BVH arrays (see module docstring)."""
     b = build_bvh(p0, p1, p2, max_leaf=max_leaf)
@@ -239,7 +237,6 @@ def build_wide_bvh(
         ),
         leaf_size=leaf_size,
         branch=branch,
-        pack_boxes=pack_boxes,
     )
 
 
@@ -248,7 +245,6 @@ def flatten_wide_rows(
     prim_rows: np.ndarray,   # [T, R] per-primitive payload
     leaf_size: int = 8,
     branch: int = BRANCH,
-    pack_boxes: str = "f32",    # "f32" (56-f32 rows) | "bf16" (32-f32 rows)
 ) -> Dict[str, np.ndarray]:
     """Generic (triangles/curve segments) wide flattening."""
     metas, los, his, ids_mat, depth = collapse_wide_arrays(
@@ -258,15 +254,22 @@ def flatten_wide_rows(
     L = ids_mat.shape[0]
     row_w = prim_rows.shape[1]
 
-    # ---- leaf rows -------------------------------------------------------
+    # ---- leaf rows: COMPONENT-major -------------------------------------
+    # [L, row_w*ls + ls]: component k of all ls primitives contiguous
+    # (p0x of tris 0..ls-1, then p0y, ... then ids). The traversal's leaf
+    # math then runs on [N, ls] slices with no minor-dim-3 axis — packed
+    # per-triangle (p0|e1|e2) rows forced cross products on a 3-wide minor
+    # axis, wasting ~97% of the VPU (same lesson as intersect._mt_hits).
     rows_mat = np.where(
         (ids_mat >= 0)[:, :, None],
         prim_rows[np.maximum(ids_mat, 0)],
         np.float32(0.0),
-    ).astype(np.float32)
+    ).astype(np.float32)                                   # [L, ls, row_w]
+    comp_major = np.ascontiguousarray(
+        rows_mat.transpose(0, 2, 1)
+    ).reshape(L, row_w * leaf_size)
     leaf_pack = np.concatenate(
-        [rows_mat.reshape(L, leaf_size * row_w), ids_mat.view(np.float32)],
-        axis=1,
+        [comp_major, ids_mat.view(np.float32)], axis=1
     )
 
     # ---- node rows, one variant per direction octant ---------------------
@@ -277,20 +280,8 @@ def flatten_wide_rows(
     # near-axis directions, turning the inverted box into an always-hit.
     valid = metas != NONE
 
-    # conservative bf16 quantization: lo nudged down / hi up by more than
-    # one bf16 ulp before the round-to-nearest cast, so the quantized box
-    # CONTAINS the exact box (the slab test can only gain children)
-    import ml_dtypes
-
-    eps = np.float32(2.0 ** -7)
-    tiny = np.float32(1e-30)
-    lo_q = (los - np.abs(los) * eps - tiny).astype(ml_dtypes.bfloat16)
-    hi_q = (his + np.abs(his) * eps + tiny).astype(ml_dtypes.bfloat16)
-
     cen = (los + his) * 0.5
-    half = branch * 3  # 24 packed f32 slots hold 48 bf16 coords
-    cols = (half if pack_boxes == "bf16" else branch * 6) + branch
-    out = np.empty((8, W, cols), np.float32)
+    out = np.empty((8, W, branch * 7), np.float32)
     for o in range(8):
         sgn = np.asarray(
             [1.0 if o & 1 else -1.0,
@@ -302,25 +293,16 @@ def flatten_wide_rows(
         perm = np.argsort(key, axis=1, kind="stable")     # [W, B]
         r = np.arange(W)[:, None]
         pmeta = metas[r, perm]
-        if pack_boxes == "bf16":
-            plo = lo_q[r, perm]
-            phi = hi_q[r, perm]
-            # split packing — slot k = lo_coord_k | hi_coord_k << 16 — so
-            # the kernel unpack is pure elementwise bit math (an interleaved
-            # pair layout needs a cross-lane shuffle)
-            lo_u = np.ascontiguousarray(plo.reshape(W, half)).view(np.uint16)
-            hi_u = np.ascontiguousarray(phi.reshape(W, half)).view(np.uint16)
-            packed = (
-                lo_u.astype(np.uint32) | (hi_u.astype(np.uint32) << 16)
-            ).view(np.float32)
-            out[o, :, :half] = packed
-            out[o, :, half:] = pmeta.view(np.float32)
-        else:
-            boxes = np.concatenate(
-                [los[r, perm], his[r, perm]], axis=-1
-            ).reshape(W, branch * 6)
-            out[o, :, : branch * 6] = boxes
-            out[o, :, branch * 6:] = pmeta.view(np.float32)
+        # component-major: lox*B | loy*B | loz*B | hix*B | hiy*B | hiz*B
+        plo = los[r, perm]                              # [W, B, 3]
+        phi = his[r, perm]
+        boxes = np.concatenate(
+            [np.ascontiguousarray(plo.transpose(0, 2, 1)).reshape(W, -1),
+             np.ascontiguousarray(phi.transpose(0, 2, 1)).reshape(W, -1)],
+            axis=1,
+        )
+        out[o, :, : branch * 6] = boxes
+        out[o, :, branch * 6:] = pmeta.view(np.float32)
 
     root = np.stack(
         [np.min(np.where(valid[0][:, None], los[0], np.inf), axis=0),

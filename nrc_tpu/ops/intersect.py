@@ -342,7 +342,12 @@ def _skip_traverse(org, direction, bvh, tmin, tmax, any_hit: bool):
         k_best = jnp.argmin(t_ok, axis=1)
         t_best = jnp.min(t_ok, axis=1)
         hit_any = t_best < cap
-        pid_best = jnp.take_along_axis(pid, k_best[:, None], axis=1)[:, 0]
+        # one-hot select, NOT take_along_axis (lowers to a per-lane gather)
+        oh_k = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, leaf_size), 1)
+            == k_best[:, None]
+        )
+        pid_best = jnp.sum(jnp.where(oh_k, pid, 0), axis=1, dtype=jnp.int32)
         best_t = jnp.where(hit_any, t_best, best_t)
         best_prim = jnp.where(hit_any, pid_best, best_prim)
 
@@ -499,6 +504,13 @@ def make_intersectors(tris: TriSoA, bvh=None):
     path; kernel parity is covered by interpret-mode tests.
     """
     if bvh is not None and tris.num > BVH_THRESHOLD:
+        if "wnode" in bvh:  # 8-wide walk (ops/intersect_wide.py)
+            from .intersect_wide import intersect_wbvh, occluded_wbvh
+
+            return (
+                lambda o, d, tn, tf: intersect_wbvh(o, d, bvh, tris, tn, tf),
+                lambda o, d, tn, tf: occluded_wbvh(o, d, bvh, tris, tn, tf),
+            )
         return (
             lambda o, d, tn, tf: intersect_bvh(o, d, bvh, tris, tn, tf),
             lambda o, d, tn, tf: occluded_bvh(o, d, bvh, tris, tn, tf),

@@ -16,9 +16,12 @@ state:
   (NONE = visited/missed/empty). meta >= 0 -> inner wide node; meta < 0
   -> leaf row ~meta.
 - ``stack`` [N, D, 8] + ``depth`` [N]: saved sibling sets.
-- two-phase like the binary walk: lanes PARK at leaf children; when every
-  lane is parked or done, one batched leaf phase intersects leaf_size
-  packed triangles, then lanes resume their sibling sets.
+- ONE flat while loop: a lane that reaches a leaf child parks for exactly
+  one step and is serviced by the leaf block at the top of the next step
+  (leaf_size triangles tested as [N, ls]-shaped vector math). A nested
+  two-phase descend/leaf structure measured ~300 us of loop-re-entry +
+  fusion-boundary overhead per leaf round — 60x the cost of a unified
+  step - and dominated the walk.
 
 Same coherence-sorted 2048-lane chunking as the binary path
 (``chunked_over_rays``): each chunk's while_loop exits at ITS slowest ray.
@@ -48,8 +51,7 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
 
     n = org.shape[0]
     octants, W, row_w = wb["wnode"].shape
-    packed = row_w == branch * 4  # bf16-packed vs plain-f32 box layout
-    half = branch * 3
+    assert row_w == branch * 7, "component-major f32 rows expected"
     nodes_flat = wb["wnode"].reshape(octants * W, row_w)
     D = wb["depth"].shape[1]  # static max depth
     leaf_size = wb["leaf_pack"].shape[1] // 10
@@ -67,6 +69,7 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
     )
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (n, branch), 1)
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (n, D), 1)
+    iota_ls = jax.lax.broadcasted_iota(jnp.int32, (n, leaf_size), 1)
 
     def visit(node, best_t):
         """Gather a wide row and box-test all children -> children set.
@@ -75,28 +78,24 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
         slots (bvh_wide layout): the unpack is dense VPU bit math, traded
         for a 32-f32 row gather that costs the same as the binary walk's
         8-f32 row."""
-        row = nodes_flat[base + node]                        # [N, 32|56]
-        if packed:
-            pk = jax.lax.bitcast_convert_type(row[:, :half], jnp.uint32)
-            # a bf16 value IS its bit pattern in the high 16 of an f32: the
-            # whole unpack is two u32 mask/shifts + bitcasts (no 16-bit
-            # dtypes, whose packed TPU layouts force relayout shuffles)
-            blo = jax.lax.bitcast_convert_type(
-                pk << jnp.uint32(16), jnp.float32
-            ).reshape(n, branch, 3)
-            bhi = jax.lax.bitcast_convert_type(
-                pk & jnp.uint32(0xFFFF0000), jnp.float32
-            ).reshape(n, branch, 3)
-            meta = row[:, half:].view(jnp.int32)             # [N, 8]
-        else:
-            boxes = row[:, : branch * 6].reshape(n, branch, 6)
-            blo = boxes[:, :, 0:3]
-            bhi = boxes[:, :, 3:6]
-            meta = row[:, branch * 6:].view(jnp.int32)       # [N, 8]
-        t0 = (blo - org[:, None, :]) * inv_d[:, None, :]
-        t1 = (bhi - org[:, None, :]) * inv_d[:, None, :]
-        near = jnp.max(jnp.minimum(t0, t1), axis=-1)         # [N, 8]
-        far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        row = nodes_flat[base + node]                        # [N, 56]
+        # component-major box columns (bvh_wide layout): every op below is
+        # a full-width [N, 8] elementwise — no minor-dim-3 axis, whose
+        # packed layout wasted ~97% of the VPU and relayout-shuffled every
+        # cross/min (the _mt_hits lesson applied to the walk)
+        B = branch
+        meta = row[:, 6 * B:].view(jnp.int32)                # [N, 8]
+        near = jnp.full((n, B), -jnp.inf)
+        far = jnp.full((n, B), jnp.inf)
+        for ax in range(3):
+            lo_c = row[:, ax * B: (ax + 1) * B]
+            hi_c = row[:, (3 + ax) * B: (4 + ax) * B]
+            o_c = org[:, ax:ax + 1]
+            i_c = inv_d[:, ax:ax + 1]
+            t0 = (lo_c - o_c) * i_c
+            t1 = (hi_c - o_c) * i_c
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
         cap = jnp.minimum(tmax, best_t)
         hit = jnp.maximum(near, tmin[:, None]) <= jnp.minimum(
             far, cap[:, None]
@@ -105,14 +104,72 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
         # overflow to (-inf, +inf) slabs and read as a hit (see bvh_wide)
         return jnp.where(hit & (meta != NONE), meta, NONE)
 
-    def descend_cond(s):
-        children, stack, depth, lrow, done, best_t, best_prim, nd, no = s
-        return jnp.any(~done & (lrow < 0))
+    def step_cond(s):
+        done = s[4]
+        return ~jnp.all(done)
 
-    def descend(s):
+    def step(s):
         children, stack, depth, lrow, done, best_t, best_prim, nd, no = s
         nd = nd + 1
-        active = ~done & (lrow < 0)
+
+        # ---- leaf service: lanes parked at a leaf row intersect its
+        # leaf_size triangles this step (vectorized over the leaf axis) and
+        # resume their sibling set next step. One flat loop — no nested
+        # while: the two-phase outer/descend structure cost ~300 us of
+        # loop-re-entry + fusion-boundary overhead per leaf ROUND vs ~5 us
+        # per unified step (measured on the 486k-tri batch).
+        do_leaf = ~done & (lrow >= 0)
+        tri = wb["leaf_pack"][jnp.maximum(lrow, 0)]          # [N, ls*10]
+        if not _SKIP_LEAF:
+            ls = leaf_size
+            # component-major columns (bvh_wide layout): all Moller-Trumbore
+            # math below is [N, ls] elementwise with full VPU rows
+            c = [tri[:, k * ls: (k + 1) * ls] for k in range(9)]
+            p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = c
+            pid = tri[:, 9 * ls:].view(jnp.int32)            # [N, ls]
+            dx = direction[:, 0:1]
+            dy = direction[:, 1:2]
+            dz = direction[:, 2:3]
+            # pvec = d x e2
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz          # [N, ls]
+            ok = jnp.abs(det) > 1e-12
+            invd = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            tvx = org[:, 0:1] - p0x
+            tvy = org[:, 1:2] - p0y
+            tvz = org[:, 2:3] - p0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
+            # qvec = tvec x e1
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * invd
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * invd
+            cap = jnp.minimum(tmax, best_t)
+            ok = (
+                do_leaf[:, None] & ok & (pid >= 0)
+                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > tmin[:, None]) & (t < cap[:, None])
+            )
+            t_ok = jnp.where(ok, t, RT_MAX)
+            k_best = jnp.argmin(t_ok, axis=1)                # [N]
+            t_best = jnp.min(t_ok, axis=1)
+            hit_any = t_best < cap
+            # one-hot select, NOT take_along_axis (a per-lane gather)
+            oh_k = iota_ls == k_best[:, None]
+            pid_best = jnp.sum(
+                jnp.where(oh_k, pid, 0), axis=1, dtype=jnp.int32
+            )
+            best_t = jnp.where(hit_any, t_best, best_t)
+            best_prim = jnp.where(hit_any, pid_best, best_prim)
+        if any_hit:
+            done = done | (best_prim >= 0)
+        lrow = jnp.full((n,), -1, jnp.int32)
+
+        # ---- descend service: unparked lanes pop/pick/visit -------------
+        active = ~done & ~do_leaf
 
         # lanes with an exhausted sibling set pop (same step)
         empty = ~jnp.any(children != NONE, axis=1)
@@ -139,7 +196,7 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
         is_leaf = take & (entry < 0) & (entry != NONE)
         is_inner = take & (entry >= 0)
 
-        # leaf child: park for the batched leaf phase (siblings kept)
+        # leaf child: park; serviced at the TOP of the next step
         lrow = jnp.where(is_leaf, ~entry, lrow)
 
         # inner child: push the remaining siblings (if any), then visit
@@ -151,58 +208,6 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
         new_children = visit(jnp.where(is_inner, entry, 0), best_t)
         children = jnp.where(is_inner[:, None], new_children, children)
 
-        return children, stack, depth, lrow, done, best_t, best_prim, nd, no
-
-    def outer_cond(s):
-        done = s[4]
-        return ~jnp.all(done)
-
-    def outer(s):
-        children, stack, depth, lrow, done, best_t, best_prim, nd, no = (
-            jax.lax.while_loop(descend_cond, descend, s)
-        )
-        no = no + 1
-        # every lane is done or parked at a leaf
-        do_leaf = lrow >= 0
-        tri = wb["leaf_pack"][jnp.maximum(lrow, 0)]          # [N, ls*10]
-        if not _SKIP_LEAF:
-            # all leaf_size triangles tested as ONE set of [N, ls]-shaped
-            # ops (a per-triangle unrolled loop emits ~15*ls tiny [N] ops,
-            # each dispatch-bound at this size — measured 165 us/round vs
-            # ~5 us for the equally-sized descend step math)
-            blk = tri[:, : 9 * leaf_size].reshape(n, leaf_size, 9)
-            p0 = blk[..., 0:3]
-            e1 = blk[..., 3:6]
-            e2 = blk[..., 6:9]
-            pid = tri[:, 9 * leaf_size:].view(jnp.int32)     # [N, ls]
-            dirn = direction[:, None, :]
-            pvec = jnp.cross(dirn, e2)
-            det = jnp.sum(e1 * pvec, axis=-1)                # [N, ls]
-            ok = jnp.abs(det) > 1e-12
-            invd = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-            tvec = org[:, None, :] - p0
-            u = jnp.sum(tvec * pvec, axis=-1) * invd
-            qvec = jnp.cross(tvec, e1)
-            v = jnp.sum(dirn * qvec, axis=-1) * invd
-            t = jnp.sum(e2 * qvec, axis=-1) * invd
-            cap = jnp.minimum(tmax, best_t)
-            ok = (
-                do_leaf[:, None] & ok & (pid >= 0)
-                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > tmin[:, None]) & (t < cap[:, None])
-            )
-            t_ok = jnp.where(ok, t, RT_MAX)
-            k_best = jnp.argmin(t_ok, axis=1)                # [N]
-            t_best = jnp.min(t_ok, axis=1)
-            hit_any = t_best < cap
-            pid_best = jnp.take_along_axis(
-                pid, k_best[:, None], axis=1
-            )[:, 0]
-            best_t = jnp.where(hit_any, t_best, best_t)
-            best_prim = jnp.where(hit_any, pid_best, best_prim)
-        lrow = jnp.full((n,), -1, jnp.int32)
-        if any_hit:
-            done = done | (best_prim >= 0)
         return children, stack, depth, lrow, done, best_t, best_prim, nd, no
 
     dead = tmax <= tmin
@@ -218,7 +223,7 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
         jnp.int32(0),  # descend-step counter (scalar: free in the carry)
         jnp.int32(0),  # outer leaf-round counter
     )
-    out = jax.lax.while_loop(outer_cond, outer, state)
+    out = jax.lax.while_loop(step_cond, step, state)
     t, prim, nd, no = out[5], out[6], out[7], out[8]
     if with_stats:
         return t, prim, nd, no

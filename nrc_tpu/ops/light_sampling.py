@@ -41,7 +41,7 @@ DENOM_EPS = 1.0e-6
 
 @partial(
     jax.tree_util.register_dataclass,
-    meta_fields=("types_static",),
+    meta_fields=("types_static", "env_is_cube"),
     data_fields=(
         "type", "position", "ori", "ori_inv", "emission", "area",
         "inv_integral", "spot_cos_half", "spot_angle_half", "spot_exponent",
@@ -49,7 +49,7 @@ DENOM_EPS = 1.0e-6
         "mesh_p0", "mesh_p1", "mesh_p2", "mesh_n0", "mesh_n1", "mesh_n2",
         "mesh_uv0", "mesh_uv1", "mesh_uv2",
         "mesh_prob", "mesh_alias", "env_texture", "env_prob", "env_alias",
-        "env_pdf", "ies_texture", "ies_index",
+        "env_pdf", "env_cube", "ies_texture", "ies_index",
     ),
 )
 @dataclasses.dataclass(frozen=True)
@@ -94,10 +94,14 @@ class DeviceLights:
     env_prob: jnp.ndarray       # [H*W]
     env_alias: jnp.ndarray      # [H*W] i32
     env_pdf: jnp.ndarray        # [H, W] solid-angle pdf per texel
+    # cube environment faces (dummy [1,1,1,3] when absent; env_texture is
+    # then the equirect importance-sampling proxy)
+    env_cube: jnp.ndarray = None     # [6 or 1, Hc, Wc, 3]
     # IES goniometric candela textures (dummy [1,1,1] when absent)
     ies_texture: jnp.ndarray = None  # [NI, H, W]
     ies_index: jnp.ndarray = None    # [L] i32, -1 = no profile
     types_static: tuple = ()
+    env_is_cube: bool = False
 
     @property
     def num(self) -> int:
@@ -149,6 +153,10 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
         env_prob = np.ones((1,), np.float32)
         env_alias = np.zeros((1,), np.int32)
         env_pdf = np.full((1, 1), 0.25 / np.pi, np.float32)
+    env_is_cube = getattr(lt, "env_cube", None) is not None
+    env_cube = (
+        lt.env_cube if env_is_cube else np.zeros((1, 1, 1, 3), np.float32)
+    )
 
     if lt.ies_texture is not None:
         ies_texture = lt.ies_texture
@@ -176,8 +184,10 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
             mesh_prob=j(mesh_prob), mesh_alias=j(mesh_alias, jnp.int32),
             env_texture=j(env_texture), env_prob=j(env_prob),
             env_alias=j(env_alias, jnp.int32), env_pdf=j(env_pdf),
+            env_cube=j(env_cube),
             ies_texture=j(ies_texture), ies_index=j(ies_index, jnp.int32),
             types_static=(),
+            env_is_cube=env_is_cube,
         )
 
     def pad1(x):
@@ -209,8 +219,10 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
         env_prob=j(env_prob),
         env_alias=j(env_alias, jnp.int32),
         env_pdf=j(env_pdf),
+        env_cube=j(env_cube),
         ies_texture=j(ies_texture),
         ies_index=j(ies_index, jnp.int32),
+        env_is_cube=env_is_cube,
         types_static=tuple(int(t) for t in lt.type),
     )
 
@@ -414,7 +426,12 @@ def sample_lights(
         # object-space: u=0 seam on -z, v=0 south pole (light_sample.cu:95-106)
         d_obj = jnp.stack([jnp.sin(phi) * st, -jnp.cos(theta), -jnp.cos(phi) * st], -1)
         dirn = jnp.einsum("nij,nj->ni", lights.ori[idx], d_obj)
-        emis = lights.env_texture[ty, tx]
+        if lights.env_is_cube:
+            from .texture import sample_cube_env
+
+            emis = sample_cube_env(lights.env_cube, d_obj)
+        else:
+            emis = lights.env_texture[ty, tx]
         pdf_e = lights.env_pdf[ty, tx]
         valid = pdf_e > DENOM_EPS
         rop = safe_div(emission * emis, pdf_e[..., None])
@@ -458,7 +475,17 @@ def env_radiance(lights: DeviceLights, direction: jnp.ndarray):
         tx = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
         ty = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
         tex = lights.env_texture[ty, tx]
-        emission = tex * lights.emission[0]
+        if lights.env_is_cube:
+            # true cube lookup for the radiance (Device.cpp:3014-3283 cube
+            # CUarrays); env_texture is then only the equirect proxy whose
+            # texels define the sampling pdf — MIS stays consistent because
+            # the pdf used HERE matches the pdf NEE actually samples with
+            from .texture import sample_cube_env
+
+            rad = sample_cube_env(lights.env_cube, r)
+        else:
+            rad = tex
+        emission = rad * lights.emission[0]
         # pdf = intensity(tex) * invIntegral (miss.cu:195-198)
         pdf = tex.mean(axis=-1) * lights.inv_integral[0]
         return emission, pdf, True

@@ -66,6 +66,70 @@ def sample_bilinear(atlas: dict, tex_id: jnp.ndarray, uv: jnp.ndarray,
     return jnp.where(has[..., None], out, 1.0)
 
 
+def cube_face_uv(direction: jnp.ndarray):
+    """Direction -> (face, u, v) cube lookup, D3D/CUDA convention (the
+    reference samples cube maps through cudaTextureCubemap objects,
+    ``Device.cpp:3014-3283`` + ``texture_lookup.h``): faces ordered
+    +X -X +Y -Y +Z -Z; for major axis m with |m| = max component,
+      +X: u=-z/|x|, v=-y/|x|    -X: u= z/|x|, v=-y/|x|
+      +Y: u= x/|y|, v= z/|y|    -Y: u= x/|y|, v=-z/|y|
+      +Z: u= x/|z|, v=-y/|z|    -Z: u=-x/|z|, v=-y/|z|
+    mapped to [0,1]^2 (v runs top-down like image rows). Returns
+    (face [N] i32, u [N], v [N])."""
+    x, y, z = direction[..., 0], direction[..., 1], direction[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (ay > ax) & (ay >= az)
+    # per-face (sc, tc, ma): s/t coordinates and the major-axis magnitude
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-20)
+    sc = jnp.where(
+        is_x, jnp.where(x >= 0, -z, z),
+        jnp.where(is_y, x, jnp.where(z >= 0, x, -x)),
+    )
+    tc = jnp.where(
+        is_x, -y,
+        jnp.where(is_y, jnp.where(y >= 0, z, -z), -y),
+    )
+    face = jnp.where(
+        is_x, jnp.where(x >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    ).astype(jnp.int32)
+    u = (sc / ma + 1.0) * 0.5
+    v = (tc / ma + 1.0) * 0.5
+    return face, u, v
+
+
+def sample_cube_env(cube: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear cube-map fetch from a dense [6, H, W, C] face stack by
+    direction [N, 3] -> [N, C]. Filtering clamps within the face (no
+    cross-face bleeding — matches clamped CUarray layers)."""
+    _, h, w, _ = cube.shape
+    face, u, v = cube_face_uv(direction)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    ix0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    iy0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    ix1 = jnp.clip(ix0 + 1, 0, w - 1)
+    iy1 = jnp.clip(iy0 + 1, 0, h - 1)
+    flat = cube.reshape(-1, cube.shape[-1])
+    base = face * (h * w)
+
+    def fetch(iy, ix):
+        return flat[base + iy * w + ix]
+
+    return (
+        fetch(iy0, ix0) * (1.0 - fx) * (1.0 - fy)
+        + fetch(iy0, ix1) * fx * (1.0 - fy)
+        + fetch(iy1, ix0) * (1.0 - fx) * fy
+        + fetch(iy1, ix1) * fx * fy
+    )
+
+
 def apply_uv_transform(uv: jnp.ndarray, xf: jnp.ndarray) -> jnp.ndarray:
     """MDL ``base::rotation_translation_scale`` restricted to the uv plane
     (rotation about w): uv' = R(rot_z) @ (uv * scale) + translation.

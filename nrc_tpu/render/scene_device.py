@@ -198,13 +198,13 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
     if use_bvh is None:
         use_bvh = scene.num_triangles > 16384
     if use_bvh and scene.num_triangles > 0:
-        from ..ops.bvh import build_bvh, flatten_skip_links
+        # 8-wide BVH (ops/bvh_wide.py): one gathered row box-tests 8
+        # subtrees; measured 125 ms vs the binary skip-link walk's 169 ms
+        # on the 65k-incoherent-ray / 486k-tri batch (identical hits)
+        from ..ops.bvh_wide import build_wide_bvh
 
-        flat = flatten_skip_links(
-            build_bvh(scene.p0, scene.p1, scene.p2),
-            scene.p0, scene.p1, scene.p2,
-        )
-        bvh = {k: jnp.asarray(v) for k, v in flat.items()}
+        wide = build_wide_bvh(scene.p0, scene.p1, scene.p2)
+        bvh = {k: jnp.asarray(v) for k, v in wide.items()}
 
     curves = curve_bvh = None
     if scene.curves is not None and scene.curves.num > 0:

@@ -63,6 +63,9 @@ class LightTable:
     env_texture: Optional[np.ndarray] = None  # [H, W, 3] f32
     env_cdf_u: Optional[np.ndarray] = None    # [H, W+1] f32
     env_cdf_v: Optional[np.ndarray] = None    # [H+1] f32
+    # cube environment (DDS cube maps): the true 6-face data; env_texture
+    # then holds the equirect PROXY used only for importance sampling
+    env_cube: Optional[np.ndarray] = None     # [6, He, We, 3] f32
     # IES goniometric candela textures, stacked [NI, H, W]; per-light index
     # into the stack (-1 when the light has no profile)
     ies_texture: Optional[np.ndarray] = None   # [NI, H, W] f32

@@ -281,7 +281,7 @@ def _build_lights(
     tri_start: List[int] = []
     tri_count: List[int] = []
     mesh_tris: List[tuple] = []
-    env_texture = env_cdf_u = env_cdf_v = None
+    env_texture = env_cdf_u = env_cdf_v = env_cube = None
     ies_textures: List[np.ndarray] = []
     ies_index: List[int] = []
 
@@ -305,9 +305,10 @@ def _build_lights(
         emission = tuple(c * ld.multiplier for c in ld.emission)
         if ld.light_type == "env":
             if ld.texture:
-                tex = _load_env_texture(search_paths, ld.texture)
+                tex, cube = _load_env_texture(search_paths, ld.texture)
                 if tex is not None:
                     env_texture = tex
+                    env_cube = cube
                     env_cdf_u, env_cdf_v, integral = build_env_cdf(tex)
                     add(
                         TYPE_LIGHT_ENV_SPHERE, ld.matrix,
@@ -399,23 +400,71 @@ def _build_lights(
         env_texture=env_texture,
         env_cdf_u=env_cdf_u,
         env_cdf_v=env_cdf_v,
+        env_cube=env_cube,
         ies_texture=np.stack(ies_textures) if ies_textures else None,
         ies_index=np.asarray(ies_index, np.int32),
     )
     return table, light_id
 
 
-def _load_env_texture(search_paths, filename: str) -> Optional[np.ndarray]:
+def _load_env_texture(search_paths, filename: str):
+    """Env map file -> (equirect [H, W, 3], cube [6, Hc, Wc, 3] | None).
+
+    Radiance .hdr loads as the usual lat-long map. A DDS CUBE map loads all
+    six faces (``Picture.cpp`` cube path); an equirect PROXY is resampled
+    from the faces for the importance-sampling tables while radiance
+    evaluation uses true cube lookups (``ops/texture.py::sample_cube_env``,
+    the analog of the reference's cudaTextureCubemap objects,
+    ``Device.cpp:3014-3283``)."""
     from ..utils.hdr_loader import load_radiance_hdr
 
     for sp in search_paths + ("",):
         p = os.path.join(sp, filename) if sp else filename
-        if os.path.isfile(p):
-            try:
-                return load_radiance_hdr(p)
-            except Exception:
-                return None
-    return None
+        if not os.path.isfile(p):
+            continue
+        try:
+            if p.lower().endswith(".dds"):
+                from .dds_loader import load_dds
+
+                img = load_dds(p)
+                if img.ndim == 4:  # cube: [6, H, W, 4]
+                    cube = np.ascontiguousarray(
+                        img[..., :3], dtype=np.float32
+                    )
+                    return _equirect_from_cube(cube), cube
+                return np.ascontiguousarray(img[..., :3], np.float32), None
+            return load_radiance_hdr(p), None
+        except Exception:
+            return None, None
+    return None, None
+
+
+def _equirect_from_cube(cube: np.ndarray, height: int = 0) -> np.ndarray:
+    """Nearest-sampled lat-long proxy of a cube map (importance tables)."""
+    fh = cube.shape[1]
+    h = height or max(2 * fh, 8)
+    w = 2 * h
+    v = (np.arange(h) + 0.5) / h
+    u = (np.arange(w) + 0.5) / w
+    theta = v * np.pi
+    phi = u * 2.0 * np.pi
+    st = np.sin(theta)[:, None]
+    # same object-space mapping as the env sampler (light_sample.cu:95-106)
+    d = np.stack(
+        [
+            np.sin(phi)[None, :] * st,
+            np.broadcast_to(-np.cos(theta)[:, None], (h, w)),
+            -np.cos(phi)[None, :] * st,
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    import jax
+
+    from ..ops.texture import sample_cube_env
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        out = np.asarray(sample_cube_env(cube, d.astype(np.float32)))
+    return out.reshape(h, w, 3).astype(np.float32)
 
 
 def load_scene(

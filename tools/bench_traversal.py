@@ -24,7 +24,6 @@ def main():
     ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--impl", default="skip", choices=["skip", "wide"])
-    ap.add_argument("--pack", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--leaf-size", type=int, default=8)
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--check-n", type=int, default=4096)
@@ -66,7 +65,7 @@ def main():
 
         import os
 
-        cache = f"/tmp/wbvh_{args.leaf_size}_{args.pack}.npz"
+        cache = f"/tmp/wbvh_{args.leaf_size}_cm.npz"
         t0 = time.perf_counter()
         if os.path.exists(cache):
             wb_np = dict(np.load(cache))
@@ -74,7 +73,7 @@ def main():
             p0 = np.asarray(tris.p0)
             wb_np = build_wide_bvh(
                 p0, p0 + np.asarray(tris.e1), p0 + np.asarray(tris.e2),
-                leaf_size=args.leaf_size, pack_boxes=args.pack,
+                leaf_size=args.leaf_size,
             )
             np.savez(cache, **wb_np)
         print(f"wide build: {time.perf_counter() - t0:.2f}s, "
