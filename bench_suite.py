@@ -85,6 +85,27 @@ def case_vmaterials(spp):
     )
 
 
+def case_demo(spp):
+    """BASELINE config #4: the reference's hero demo scene (README.md:5-6,
+    data/system_mdl_demo.txt) — 1.39M tris, full MDL material matrix, HDR
+    env — at 2K, FULL mode with online training."""
+    _frame_case(
+        "demo_1p39M_2k",
+        "/root/reference/data/system_mdl_demo.txt",
+        "/root/reference/data/scene_mdl_demo.txt", max(spp // 8, 2),
+        res=(1920, 1080), tile=(16, 16),
+    )
+
+
+def case_demo_720(spp):
+    _frame_case(
+        "demo_1p39M_720p",
+        "/root/reference/data/system_mdl_demo.txt",
+        "/root/reference/data/scene_mdl_demo.txt", max(spp // 4, 2),
+        res=(1280, 720), tile=(16, 16),
+    )
+
+
 def case_hair(spp):
     _frame_case(
         "hair_96",
@@ -140,6 +161,8 @@ CASES = {
     "cornell": case_cornell,
     "hash": case_hash,
     "vmaterials": case_vmaterials,
+    "demo": case_demo,
+    "demo720": case_demo_720,
     "hair": case_hair,
     "mlp": case_mlp,
 }

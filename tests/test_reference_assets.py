@@ -43,3 +43,36 @@ def test_reference_scene_loads(sysf, scnf):
     scene, system = load_scene(f"{REF}/{sysf}", f"{REF}/{scnf}")
     assert scene.num_triangles > 0
     assert scene.camera is not None
+
+
+@pytest.mark.parametrize(
+    "sysf,scnf,mean_rgb,nonzero",
+    [
+        # pinned at fixed seed, 48x48, NO_CACHE, 2 spp (CPU): guards the
+        # mini-MDL parser's archetype mapping + the full light/material
+        # matrix by OUTPUT, not just "parses" (VERDICT r1 #10)
+        ("system_mdl_vMaterials.txt", "scene_mdl_vMaterials.txt",
+         (1.44262, 1.44262, 1.44262), 0.931),
+        ("system_mdl_demo.txt", "scene_mdl_demo.txt",
+         (1.2203, 1.17492, 1.10519), 0.9996),
+    ],
+)
+def test_reference_scene_render_pinned(sysf, scnf, mean_rgb, nonzero):
+    import numpy as np
+
+    from nrc_tpu.config import RenderMode
+    from nrc_tpu.render.renderer import Renderer
+    from nrc_tpu.scene.scene_builder import load_scene
+
+    scene, system = load_scene(f"{REF}/{sysf}", f"{REF}/{scnf}")
+    system.resolution = (48, 48)
+    scene.camera.aspect = 1.0
+    r = Renderer(scene, system, render_mode=RenderMode.NO_CACHE,
+                 train=False, adaptive_tiles=False)
+    for _ in range(2):
+        r.render_frame()
+    img = np.asarray(r.image_hdr())
+    assert np.all(np.isfinite(img))
+    got = img.mean(axis=(0, 1))
+    np.testing.assert_allclose(got, mean_rgb, rtol=0.02), (got, mean_rgb)
+    assert abs(float((img.sum(-1) > 0).mean()) - nonzero) < 0.02
