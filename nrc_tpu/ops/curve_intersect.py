@@ -174,39 +174,17 @@ def _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
         np.float32(3.0e38),
     )
 
-    def descend_cond(s):
+    def step_cond(s):
         node, lrow, _, _ = s
-        return jnp.any((node != sentinel) & (lrow < 0))
+        return jnp.any((node != sentinel) | (lrow >= 0))
 
-    def descend(s):
+    def step(s):
         node, lrow, best_t, best_prim = s
-        active = (node != sentinel) & (lrow < 0)
-        row = nodes_flat[node]                     # [N, 8]
-        lo, hi = row[:, 0:3], row[:, 3:6]
-        miss = row[:, 6].view(jnp.int32)
-        lr = row[:, 7].view(jnp.int32)
-        is_leaf = lr >= 0
-        t0 = (lo - org) * inv_d
-        t1 = (hi - org) * inv_d
-        near = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        far = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        cap = jnp.minimum(tmax, best_t)
-        hit_box = jnp.maximum(near, tmin) <= jnp.minimum(far, cap)
-        park = hit_box & is_leaf
-        new_lrow = jnp.where(active, jnp.where(park, lr, -1), lrow)
-        nxt = jnp.where(hit_box & ~is_leaf, node + 1, miss)
-        nxt = jnp.where(park, node, nxt)  # parked lanes advance in outer
-        nxt = jnp.where(active, nxt, node)
-        return nxt, new_lrow, best_t, best_prim
 
-    def outer_cond(s):
-        node, _, _, _ = s
-        return jnp.any(node != sentinel)
-
-    def outer(s):
-        node, lrow, best_t, best_prim = jax.lax.while_loop(
-            descend_cond, descend, s
-        )
+        # ---- leaf service: lanes parked last step test their K round
+        # cones now and advance to the miss link. ONE flat loop — the
+        # nested two-phase descend/leaf structure cost ~300 us of loop
+        # re-entry per leaf round on TPU (see ops/intersect_wide.py).
         do_leaf = lrow >= 0
         seg = bvh["leaf_pack"][jnp.maximum(lrow, 0)]    # [N, K*10]
         for k in range(leaf_size):
@@ -223,18 +201,36 @@ def _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
             ok = do_leaf & (pid >= 0) & (t < jnp.minimum(best_t, tmax))
             best_t = jnp.where(ok, t, best_t)
             best_prim = jnp.where(ok, pid, best_prim)
-
-        # advance parked lanes to their miss links
-        row = nodes_flat[node]
+        row = nodes_flat[node]                          # [N, 8]
         miss = row[:, 6].view(jnp.int32)
-        nxt = jnp.where(do_leaf, miss, node)
+        node = jnp.where(do_leaf, miss, node)
         if any_hit:
-            nxt = jnp.where(best_prim >= 0, sentinel, nxt)
-        return nxt, jnp.full((n,), -1, jnp.int32), best_t, best_prim
+            node = jnp.where(best_prim >= 0, sentinel, node)
+        lrow = jnp.full((n,), -1, jnp.int32)
+
+        # ---- descend service ------------------------------------------
+        active = node != sentinel
+        row = nodes_flat[node]
+        lo, hi = row[:, 0:3], row[:, 3:6]
+        miss = row[:, 6].view(jnp.int32)
+        lr = row[:, 7].view(jnp.int32)
+        is_leaf = lr >= 0
+        t0 = (lo - org) * inv_d
+        t1 = (hi - org) * inv_d
+        near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        cap = jnp.minimum(tmax, best_t)
+        hit_box = jnp.maximum(near, tmin) <= jnp.minimum(far, cap)
+        park = active & hit_box & is_leaf
+        lrow = jnp.where(park, lr, lrow)
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, miss)
+        nxt = jnp.where(park, node, nxt)  # leaf serviced next step
+        node = jnp.where(active, nxt, node)
+        return node, lrow, best_t, best_prim
 
     node0 = jnp.where(tmax <= tmin, sentinel, base)
     _, _, t, prim = jax.lax.while_loop(
-        outer_cond, outer,
+        step_cond, step,
         (node0, jnp.full((n,), -1, jnp.int32),
          jnp.full((n,), RT_MAX), jnp.full((n,), -1, jnp.int32)),
     )
