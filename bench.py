@@ -161,17 +161,42 @@ def main():
     print(json.dumps(payload))
 
 
+def _is_backend_unavailable(e: BaseException) -> bool:
+    """TPU-unreachable initialization failures (tunnel down, device busy) —
+    the only error class where reporting the cached last-good number is
+    honest. Genuine in-process regressions must NOT inherit it."""
+    msg = f"{type(e).__name__}: {e}".lower()
+    return any(
+        k in msg
+        for k in (
+            "backend", "tpu", "pjrt", "unavailable", "deadline",
+            "connection", "unimplemented: axon",
+        )
+    )
+
+
 if __name__ == "__main__":
-    # A fast terminal error (e.g. the TPU backend failing to *initialize*,
-    # which the hang watchdog never sees) must still produce the one JSON
-    # line the driver parses — fall back to the cached last-good result.
+    # A fast terminal error must still produce the one JSON line the driver
+    # parses. Backend-unavailable errors (which the hang watchdog never
+    # sees) fall back to the cached last-good result, like the watchdog; a
+    # genuine in-process crash reports value 0 and exits nonzero so a broken
+    # build cannot masquerade as the previous good run.
     try:
         main()
+    except KeyboardInterrupt:
+        raise
     except BaseException as e:  # noqa: BLE001 — anything, incl. SystemExit
         log(f"bench failed: {type(e).__name__}: {e}")
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        print(json.dumps(_stale_payload(f"bench error: {type(e).__name__}")),
-              flush=True)
-        os._exit(0)
+        if _is_backend_unavailable(e):
+            print(json.dumps(_stale_payload(
+                f"bench error: {type(e).__name__}")), flush=True)
+            os._exit(0)
+        print(json.dumps({
+            "metric": "mrays_per_s", "value": 0.0, "unit": "Mrays/s",
+            "vs_baseline": 0.0, "stale": True,
+            "note": f"in-process bench error: {type(e).__name__}",
+        }), flush=True)
+        os._exit(1)

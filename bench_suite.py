@@ -18,17 +18,27 @@ def log(*a):
 
 
 def _bench_frames(r, spp):
+    """Timed frame loop -> (fps, traced_mrays_per_s).
+
+    One accounting everywhere: Mrays/s counts rays actually cast
+    (closest-hit segments of live lanes + valid shadow rays, summed on
+    device per frame) — same numerator as bench.py's headline. The old
+    potential-ray formula ((pixels+tiles) x segs x 2 x fps) assumed every
+    path traces every segment and overstated throughput severalfold."""
     import jax.numpy as jnp
 
     for _ in range(3):
         r.render_frame()
     float(jnp.ravel(r.image)[0])
+    stats = []
     t0 = time.perf_counter()
     for _ in range(spp):
-        r.render_frame()
+        stats.append(r.render_frame())
     float(jnp.ravel(r.image)[0])
     float(jnp.ravel(r.net_state.params.w_in)[0])
-    return spp / (time.perf_counter() - t0)
+    dt = time.perf_counter() - t0
+    traced = sum(int(s.traced_rays) for s in stats)  # after the barrier
+    return spp / dt, traced / dt / 1e6
 
 
 def _frame_case(name, sysf, scnf, spp, res=None, tile=(4, 4), encoding=None):
@@ -51,12 +61,11 @@ def _frame_case(name, sysf, scnf, spp, res=None, tile=(4, 4), encoding=None):
         )
     r = Renderer(scene, system, render_mode=RenderMode.FULL, train=True,
                  adaptive_tiles=False, **kw)
-    fps = _bench_frames(r, spp)
-    segs = r.cfg.max_depth + 1
-    mrays = (r.cfg.num_pixels + r.cfg.num_tiles) * segs * 2 * fps / 1e6
+    fps, mrays = _bench_frames(r, spp)
     print(json.dumps({
         "case": name, "metric": "mrays_per_s", "value": round(mrays, 3),
-        "fps": round(fps, 3), "unit": "Mrays/s",
+        "fps": round(fps, 3), "ms_per_frame": round(1000.0 / fps, 1),
+        "unit": "Mrays/s traced",
     }), flush=True)
 
 

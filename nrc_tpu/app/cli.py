@@ -308,7 +308,19 @@ def _gui_params(r):
 
 
 def _apply_setting(r, s):
-    """Apply one queued control-panel edit to the renderer."""
+    """Apply one queued control-panel edit to the renderer.
+
+    HTTP-supplied values are untrusted: a malformed ``/set`` request must
+    not raise inside the present loop and kill the render session, so every
+    conversion is guarded — bad edits are logged and dropped."""
+    try:
+        _apply_setting_unchecked(r, s)
+    except (KeyError, ValueError, IndexError, TypeError) as e:
+        print(f"ignoring bad setting {s!r}: {type(e).__name__}: {e}",
+              flush=True)
+
+
+def _apply_setting_unchecked(r, s):
     import dataclasses as _dc
 
     from ..config import RenderMode
@@ -320,7 +332,9 @@ def _apply_setting(r, s):
         return tuple((parts + parts[-1:] * n)[:n])
 
     if s.get("material") is not None:
-        idx = s["material"]
+        idx = int(s["material"])
+        if not 0 <= idx < len(r.scene.material_rows):
+            raise IndexError(f"material index {idx} out of range")
         if key in ("albedo", "emission_intensity"):
             r.update_material(idx, **{key: vec(raw, 3)})
         elif key == "roughness":

@@ -403,23 +403,29 @@ EXPORT int32_t bvh_collapse_wide(
         area[i] = 2.0f * (ex * ey + ey * ez + ez * ex);
     }
 
-    int32_t W = 0, L = 0, max_depth = 0;
+    int32_t W = 0, L = 0, max_depth = 0, err = 0;
     /* DFS todo: (binary node, wide idx, depth) triples */
     int32_t *todo = stk;  /* reuse; 4*n capacity is plenty (3 per entry) */
     int32_t tp = 0;
 
+/* err -> caller returns -1 and the Python wrapper falls back to the
+ * asserting pure-Python collapse: guards leaf_size smaller than the binary
+ * tree's max leaf count and pathologically deep leaf subtrees, which would
+ * otherwise silently overrun dst / cst. */
 #define COLLECT_LEAF(v) do {                                               \
         int32_t li = L++;                                                  \
         int32_t *dst = leaf_ids + (int64_t)li * leaf_size;                 \
         int32_t nfill = 0;                                                 \
         int32_t cst[128]; int32_t csp = 0;                                 \
         cst[csp++] = (v);                                                  \
-        while (csp > 0) {                                                  \
+        while (csp > 0 && !err) {                                          \
             int32_t u2 = cst[--csp];                                       \
             if (left[u2] < 0) {                                            \
+                if (nfill + count[u2] > leaf_size) { err = 1; break; }     \
                 for (int32_t k = 0; k < count[u2]; k++)                    \
                     dst[nfill++] = order[start[u2] + k];                   \
             } else {                                                       \
+                if (csp + 2 > 128) { err = 1; break; }                     \
                 cst[csp++] = right[u2];                                    \
                 cst[csp++] = left[u2];                                     \
             }                                                              \
@@ -448,7 +454,7 @@ EXPORT int32_t bvh_collapse_wide(
         todo[tp++] = 0;  /* wide idx */
         todo[tp++] = 0;  /* depth */
         int32_t slots[64];
-        while (tp > 0) {
+        while (tp > 0 && !err) {
             int32_t d = todo[--tp];
             int32_t wi = todo[--tp];
             int32_t v = todo[--tp];
@@ -501,6 +507,10 @@ EXPORT int32_t bvh_collapse_wide(
     }
 #undef COLLECT_LEAF
 
+    if (err) {
+        free(prims); free(area); free(stk);
+        return -1;
+    }
     out_counts[0] = W;
     out_counts[1] = L;
     out_counts[2] = max_depth + 1;

@@ -310,10 +310,14 @@ def flatten_wide_rows(
     ).astype(np.float32)
 
     return {
-        "wnode": out,                                    # [8, W, 32]
-        "leaf_pack": leaf_pack,                          # [L, ls*(R/9*9+1)]
+        "wnode": out,                                    # [8, W, 56] f32
+        "leaf_pack": leaf_pack,                          # [L, ls*(row_w+1)]
         "leaf_ids": ids_mat,
         "root": root,                                    # [2, 3] exact AABB
         "depth": np.zeros((1, depth + 1), np.int32),     # static via shape
         # (+1 safety slot over the exact max level count)
+        # per-primitive payload width, shape-encoded like depth: consumers
+        # derive leaf_size = leaf_pack.shape[1] // (row_w + 1) instead of
+        # hardcoding the 9-float triangle row layout
+        "leaf_row_w": np.zeros((1, row_w), np.int32),
     }

@@ -54,7 +54,17 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
     assert row_w == branch * 7, "component-major f32 rows expected"
     nodes_flat = wb["wnode"].reshape(octants * W, row_w)
     D = wb["depth"].shape[1]  # static max depth
-    leaf_size = wb["leaf_pack"].shape[1] // 10
+    # per-primitive payload width, shape-carried by the build (9 for
+    # triangles; other widths for other primitive kinds)
+    prim_row_w = (
+        wb["leaf_row_w"].shape[1] if "leaf_row_w" in wb else 9
+    )
+    assert prim_row_w == 9, (
+        "the wide walk's leaf test is Moller-Trumbore over 9-float "
+        "(p0|e1|e2) rows; other primitive kinds need their own leaf block"
+    )
+    leaf_size = wb["leaf_pack"].shape[1] // (prim_row_w + 1)
+    assert wb["leaf_pack"].shape[1] == (prim_row_w + 1) * leaf_size
 
     oct_ = (
         (direction[:, 0] > 0).astype(jnp.int32)
@@ -74,10 +84,11 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
     def visit(node, best_t):
         """Gather a wide row and box-test all children -> children set.
 
-        Boxes arrive as conservatively-rounded bf16 pairs packed into f32
-        slots (bvh_wide layout): the unpack is dense VPU bit math, traded
-        for a 32-f32 row gather that costs the same as the binary walk's
-        8-f32 row."""
+        Rows are plain f32, component-major [8, W, 56] (bvh_wide layout:
+        lox*8|loy*8|loz*8|hix*8|hiy*8|hiz*8|meta*8) — the measured winner;
+        a bf16-packed 32-f32 variant was strictly slower (BASELINE.md dead
+        ends) because the unpack bit math ran on tiny minor dims while the
+        gather cost is ~independent of row width."""
         row = nodes_flat[base + node]                        # [N, 56]
         # component-major box columns (bvh_wide layout): every op below is
         # a full-width [N, 8] elementwise — no minor-dim-3 axis, whose
