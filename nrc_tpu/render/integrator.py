@@ -133,6 +133,7 @@ def trace_wavefront(
     cfg: FrameConfig,
     train: bool,
     unbiased: Optional[jnp.ndarray] = None,  # [N] bool (train wavefront)
+    queue_band: Optional[int] = None,  # compacted-queue band (see below)
 ) -> WavefrontOut:
     n = org.shape[0]
     d_rec = cfg.max_train_records_per_ray if train else 1
@@ -252,12 +253,11 @@ def trace_wavefront(
         end_mask=jnp.zeros((n,), jnp.float32),
     )
 
-    rows = jnp.arange(n)
-
     def add_to_last_record(s: _State, amount, mask):
         """targets[lastTrainRecordIndex] += amount (miss.cu:144-147, hit.cu:817)."""
         if not train:
             return s
+        rows = jnp.arange(s.rec_count.shape[0])
         has_rec = s.rec_count > 0
         slot = jnp.maximum(s.rec_count - 1, 0)
         m = mask & has_rec & ~s.full
@@ -268,7 +268,12 @@ def trace_wavefront(
 
     def bounce(s: _State, first: bool, depth_val):
         """One wavefront bounce. ``first`` is static (threshold vs spread
-        branch); ``depth_val`` is a traced scalar (RR min-depth check)."""
+        branch); ``depth_val`` is a traced scalar (RR min-depth check).
+
+        Shape-polymorphic over the lane count: the queued driver below
+        applies this body to compacted bands narrower than the wavefront."""
+        n = s.pos.shape[0]
+        rows = jnp.arange(n)
         active = s.alive
         wo = -s.wi
         tmin = jnp.where(s.hit_before, eps, 0.0)
@@ -944,7 +949,21 @@ def trace_wavefront(
     # having no threads left. The bounce body contains no collectives, so
     # per-shard divergent trip counts are safe under shard_map.
     state = bounce(state, True, np.int32(0))
-    if cfg.max_depth >= 1:
+    if cfg.max_depth >= 1 and queue_band is not None and n > queue_band:
+        # ---- compacted ray queue (large wavefronts) ---------------------
+        # Bounce cost on TPU is width-proportional regardless of activity,
+        # so after the coherent primary bounce the surviving rays are
+        # PARTITION-COMPACTED to the front (stable: preserves spatial
+        # order -> traversal-chunk coherence) and only the first
+        # ceil(alive / queue_band) bands are advanced, via a while_loop
+        # with a data-dependent band count. Per-depth work is then
+        # proportional to the number of LIVE paths instead of the full
+        # wavefront — the wavefront analog of the megakernel's dead
+        # threads costing nothing (optixTrace divergence model). A lane's
+        # transport depends only on its own state (seeds are per-lane), so
+        # results match the banded layout to fp32 rounding.
+        state = _queued_depth_loop(state, bounce, cfg, queue_band)
+    elif cfg.max_depth >= 1:
         import os
 
         if os.environ.get("NRC_BOUNCE_SCAN", "0") == "1":
@@ -989,6 +1008,65 @@ def trace_wavefront(
     )
 
 
+def _queued_depth_loop(state: _State, bounce, cfg: FrameConfig, band: int):
+    """Depth loop with inter-bounce ray compaction (see trace_wavefront).
+
+    Carries a lane->origin permutation so every leaf of the state can be
+    restored to input order with one gather at the end. The lane count must
+    be a multiple of ``band`` (the chunked wrapper pads)."""
+    n = state.pos.shape[0]
+    assert n % band == 0, "queued wavefront must be padded to the band size"
+    ids0 = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(carry):
+        st, ids, depth = carry
+        return (depth <= cfg.max_depth) & jnp.any(st.alive)
+
+    def body(carry):
+        st, ids, depth = carry
+        alive = st.alive
+        count = jnp.sum(alive.astype(jnp.int32))
+        # stable partition: live lanes to the front, original order kept on
+        # both sides (prefix-sum destinations; scatter an iota to get the
+        # gather permutation)
+        dest = jnp.where(
+            alive,
+            jnp.cumsum(alive.astype(jnp.int32)) - 1,
+            count + jnp.cumsum((~alive).astype(jnp.int32)) - 1,
+        )
+        perm = jnp.zeros((n,), jnp.int32).at[dest].set(ids0)
+        st = jax.tree.map(lambda x: x[perm], st)
+        ids = ids[perm]
+        n_active = (count + band - 1) // band  # data-dependent trip count
+
+        def band_cond(c):
+            _, b = c
+            return b < n_active
+
+        def band_body(c):
+            st2, b = c
+            off = b * band
+            sl = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, off, band, 0), st2
+            )
+            sl = bounce(sl, False, depth)
+            st2 = jax.tree.map(
+                lambda x, y: jax.lax.dynamic_update_slice_in_dim(x, y, off, 0),
+                st2, sl,
+            )
+            return st2, b + 1
+
+        st, _ = jax.lax.while_loop(band_cond, band_body, (st, jnp.int32(0)))
+        return st, ids, depth + 1
+
+    state, ids, _ = jax.lax.while_loop(
+        cond, body, (state, ids0, jnp.int32(1))
+    )
+    # restore input lane order (ids[i] = original index of lane i)
+    inv = jnp.zeros((n,), jnp.int32).at[ids].set(ids0)
+    return jax.tree.map(lambda x: x[inv], state)
+
+
 # Bounce-loop cost on TPU is activity-independent: every masked-select op
 # processes every lane, and the while_loop runs until the LAST path in the
 # whole wavefront terminates — a 320x320 FULL-mode frame runs ~6 full-width
@@ -999,9 +1077,15 @@ def trace_wavefront(
 # deepest path. Per-ray results match to fp32 rounding (no cross-ray ops
 # inside a wavefront; seeds are per-ray inputs; the mapped body compiles
 # separately so fusion/FMA choices differ at the last bit).
+#
+# NRC_WAVEFRONT_QUEUE=1 (default) upgrades large wavefronts to the
+# compacted-queue layout instead: ONE primary bounce over the whole
+# wavefront, then per-depth stable compaction + only ceil(alive/band)
+# bands advanced (work tracks the live-path count, not the pixel count).
 import os as _os
 
 WAVEFRONT_CHUNK = int(_os.environ.get("NRC_WAVEFRONT_CHUNK", "8192"))
+WAVEFRONT_QUEUE = _os.environ.get("NRC_WAVEFRONT_QUEUE", "1") == "1"
 
 
 def trace_wavefront_chunked(
@@ -1013,10 +1097,13 @@ def trace_wavefront_chunked(
     train: bool,
     unbiased: Optional[jnp.ndarray] = None,
     chunk: Optional[int] = None,
+    queue: Optional[bool] = None,
 ) -> WavefrontOut:
     """Chunked wrapper around ``trace_wavefront`` (same signature + chunk)."""
     if chunk is None:
         chunk = WAVEFRONT_CHUNK  # late-bound: patchable in tests
+    if queue is None:
+        queue = WAVEFRONT_QUEUE
     n = org.shape[0]
     if chunk <= 0 or n < 2 * chunk:
         return trace_wavefront(
@@ -1035,6 +1122,14 @@ def trace_wavefront_chunked(
         seeds = jnp.concatenate([seeds, jnp.ones((pad,), seeds.dtype)])
         unbiased = jnp.concatenate([unbiased, jnp.zeros((pad,), bool)])
     c = (n + pad) // chunk
+
+    if queue:
+        # compacted-queue layout: one call over the whole (padded) wavefront
+        out = trace_wavefront(
+            scene, org, direction, seeds, cfg, train, unbiased,
+            queue_band=chunk,
+        )
+        return jax.tree.map(lambda x: x[:n], out)
 
     def one(args):
         o, d, s, u = args
