@@ -12,7 +12,7 @@ TPU-native replacement for the reference's single-node multi-GPU machinery
   streams as the single-chip program (the band offset feeds the TEA seeds).
 - P3 resource policy: scene/network arrays are replicated (P(None)); the
   sharded-hash-table variant (P6) partitions the grid tables over ``data``
-  and reconstitutes lookups with a psum.
+  by resolution level and routes lookups owner-to-owner with an all_to_all.
 - P4 compositor: nothing to do — the output stays sharded; host assembly is
   ``jax.device_get`` of a sharded array.
 - P5 replicated training: per-chip record batches, ``pmean`` of gradients
@@ -52,13 +52,15 @@ def net_state_specs(net_state, shard_hash_tables: bool):
 
     Dense MLP params/moments are replicated (P5 data-parallel training).
     With ``shard_hash_tables`` (SURVEY P6), every [L, S, F] hash-table leaf —
-    table, its EMA, and its Adam moments — is row-sharded over the data axis:
-    the TPU-native HBM-embedding-table layout the reference's single-GPU
-    tcnn grid cannot express.
+    table, its EMA, and its Adam moments — is LEVEL-sharded over the data
+    axis (each chip owns L/D whole resolution levels): the TPU-native
+    HBM-embedding-table layout the reference's single-GPU tcnn grid cannot
+    express. Lookups run the owner-routed all_gather + all_to_all exchange
+    of ``encodings.sharded_hash_grid_lookup`` — O(B) gather work per chip.
     """
     def leaf_spec(path, leaf):
         if shard_hash_tables and "grid" in jax.tree_util.keystr(path):
-            return P(None, DATA_AXIS, None)
+            return P(DATA_AXIS, None, None)
         return P()
 
     return jax.tree_util.tree_map_with_path(leaf_spec, net_state)
@@ -77,8 +79,9 @@ def sharded_frame_step(
     where ``image`` is a global [H*W, 3] array sharded by rows. Scene is
     replicated; MLP gradients are pmean'd across chips. When
     ``net_cfg.hash_shard_axis == DATA_AXIS`` the hash tables (+ EMA + Adam
-    moments) are row-sharded over the mesh and lookups run the all-gather /
-    psum-scatter exchange of ``encodings.sharded_hash_grid_lookup``;
+    moments) are level-sharded over the mesh and lookups run the owner-
+    routed all_gather + all_to_all exchange of
+    ``encodings.sharded_hash_grid_lookup``;
     ``net_state_example`` (any concrete NetworkState) is then required to
     shape the per-leaf partition specs.
     """
@@ -164,12 +167,14 @@ class ParallelRenderer:
         sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
         h, w = self.r.cfg.height, self.r.cfg.width
         self.r.image = jax.device_put(self.r.image, sharding)
-        # place the network: replicated, or tables row-sharded (P6)
+        # place the network: replicated, or tables level-sharded (P6)
         shard_tables = self.r.net_cfg.hash_shard_axis == DATA_AXIS
         if shard_tables:
             n_dev = self.mesh.devices.size
-            table_rows = 2 ** self.r.net_cfg.hash_log2_size
-            assert table_rows % n_dev == 0
+            assert self.r.net_cfg.hash_n_levels % n_dev == 0, (
+                f"level-sharded tables need devices ({n_dev}) to divide "
+                f"hash_n_levels ({self.r.net_cfg.hash_n_levels})"
+            )
             specs = net_state_specs(self.r.net_state, True)
             shardings = jax.tree.map(
                 lambda s: NamedSharding(self.mesh, s), specs,

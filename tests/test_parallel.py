@@ -62,8 +62,9 @@ class TestShardedRender:
         assert np.all(np.isfinite(img)) and img.mean() > 0.02
 
     def test_sharded_hash_lookup_matches_dense(self):
-        """P6 forward parity: table row-sharded over 8 devices, lookups via
-        all_gather + psum_scatter == single-device dense gather."""
+        """P6 forward parity: table LEVEL-sharded over 8 devices (one level
+        per chip), owner-routed all_gather + all_to_all lookup ==
+        single-device dense gather."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         from jax import shard_map
 
@@ -71,7 +72,7 @@ class TestShardedRender:
         from nrc_tpu.ops import encodings as E
 
         cfg = NetworkConfig(
-            encoding=InputEncoding.HASH, hash_log2_size=9, hash_n_levels=4
+            encoding=InputEncoding.HASH, hash_log2_size=9, hash_n_levels=8
         )
         key = jax.random.PRNGKey(3)
         grid = E.init_hash_grid(key, cfg)
@@ -82,7 +83,7 @@ class TestShardedRender:
         f = shard_map(
             lambda p, g: E.sharded_hash_grid_lookup(p, g, cfg, "data"),
             mesh=mesh,
-            in_specs=(P("data", None), P(None, "data", None)),
+            in_specs=(P("data", None), P("data", None, None)),
             out_specs=P("data", None),
             check_vma=False,
         )
@@ -102,7 +103,7 @@ class TestShardedRender:
 
         n_dev = 8
         cfg = NetworkConfig(
-            encoding=InputEncoding.HASH, hash_log2_size=9, hash_n_levels=4
+            encoding=InputEncoding.HASH, hash_log2_size=9, hash_n_levels=8
         )
         grid = E.init_hash_grid(jax.random.PRNGKey(3), cfg)
         pos = jax.random.uniform(jax.random.PRNGKey(4), (64, 3))
@@ -138,8 +139,8 @@ class TestShardedRender:
         f = shard_map(
             shard_loss,
             mesh=mesh,
-            in_specs=(P("data", None), P("data", None), P(None, "data", None)),
-            out_specs=P(None, "data", None),
+            in_specs=(P("data", None), P("data", None), P("data", None, None)),
+            out_specs=P("data", None, None),
             check_vma=False,
         )
         g_sharded = f(pos, coef, grid.table)

@@ -137,7 +137,11 @@ def main():
                 "records_last_frame": rec,
                 "time_vs_1shard": round(base[1] / fps, 3),
             })
-        # P6 collective bytes per frame-step (analytic, per chip):
+        # P6 collective bytes per frame-step (analytic, per chip), for the
+        # level-sharded owner-routed exchange: one all_gather of positions
+        # + one all_to_all of completed features (each feature computed
+        # exactly once — no D partial copies to sum, unlike the retired
+        # psum_scatter design)
         ncfg = NetworkConfig(encoding=enc)
         L, F = ncfg.hash_n_levels, ncfg.hash_n_features_per_level
         per_batch = BATCH_SIZE  # positions gathered per train batch
@@ -145,7 +149,7 @@ def main():
             "all_gather_positions_bytes_per_chip": int(
                 per_batch * 3 * 4 * NUM_BATCHES
             ),
-            "psum_scatter_features_bytes_per_chip": int(
+            "all_to_all_features_bytes_per_chip": int(
                 per_batch * L * F * 4 * NUM_BATCHES
             ),
             "note": (
