@@ -85,6 +85,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _print_material_report(scene) -> None:
+    """Per-material load summary; LOUD about every fallback-to-diffuse.
+
+    The reference relays MDL compile errors through its message callback
+    (``Raytracer.cpp:1655-1669``) instead of silently substituting — this
+    is the equivalent for the mini-MDL subset: each unresolved or
+    unparseable declaration prints with its reason, plus a count."""
+    report = getattr(scene, "material_report", None) or []
+    warnings = [e for e in report if e["status"] != "ok"]
+    n_ok = len(report) - len(warnings)
+    print(
+        f"materials: {n_ok}/{len(report)} resolved"
+        + (f", {len(warnings)} degraded to gray diffuse" if warnings else "")
+    )
+    shown = 0
+    for e in warnings:
+        if shown >= 20:
+            print(f"  ... and {len(warnings) - shown} more (see /params "
+                  "material_report in the viewer for the full list)")
+            break
+        print(f"  WARNING material '{e['reference']}' ({e['path']}): "
+              f"{e['status']} -> {e.get('fallback', 'fallback')}")
+        shown += 1
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -92,6 +117,7 @@ def main(argv=None) -> int:
     from ..scene.scene_builder import load_scene
 
     scene, system = load_scene(args.system, args.scene)
+    _print_material_report(scene)
     if args.width:
         system.resolution = (args.width, system.resolution[1])
     if args.height:
@@ -304,6 +330,9 @@ def _gui_params(r):
             }
             for i, m in enumerate(r.scene.material_rows)
         ],
+        # per-material load report incl. fallback-to-diffuse reasons
+        # (mdl.load_material; the MDL-message-relay equivalent)
+        "material_report": getattr(r.scene, "material_report", None) or [],
     }
 
 

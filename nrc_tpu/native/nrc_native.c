@@ -517,3 +517,109 @@ EXPORT int32_t bvh_collapse_wide(
     free(prims); free(area); free(stk);
     return W;
 }
+
+/* ------------------------------------------------------------------ */
+/* Walker alias table (Vose O(n))                                      */
+/* ------------------------------------------------------------------ */
+
+/* Build prob/alias from already-scaled p (mean 1.0; p[i] = w[i]*n/total).
+ * Two index stacks; exact Vose pairing matching the Python fallback in
+ * scene/lights.py::build_alias_table (stacks are LIFO there too, so the
+ * native path is bit-identical). Returns 0, or -1 on allocation failure. */
+EXPORT int32_t alias_table_build(const double *p_in, int64_t n,
+                                 float *prob, int32_t *alias)
+{
+    if (n <= 0) return 0;
+    double *p = (double *)malloc(sizeof(double) * (size_t)n);
+    int64_t *small = (int64_t *)malloc(sizeof(int64_t) * (size_t)n);
+    int64_t *large = (int64_t *)malloc(sizeof(int64_t) * (size_t)n);
+    if (!p || !small || !large) {
+        free(p); free(small); free(large);
+        return -1;
+    }
+    int64_t ns = 0, nl = 0;
+    for (int64_t i = 0; i < n; i++) {
+        p[i] = p_in[i];
+        prob[i] = 1.0f;
+        alias[i] = (int32_t)i;
+        if (p[i] < 1.0) small[ns++] = i; else large[nl++] = i;
+    }
+    while (ns > 0 && nl > 0) {
+        int64_t s = small[--ns];
+        int64_t l = large[--nl];
+        prob[s] = (float)p[s];
+        alias[s] = (int32_t)l;
+        p[l] = p[l] - (1.0 - p[s]);
+        if (p[l] < 1.0) small[ns++] = l; else large[nl++] = l;
+    }
+    free(p); free(small); free(large);
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Wide-node octant row packing                                        */
+/* ------------------------------------------------------------------ */
+
+/* Build the traversal's component-major per-octant node rows
+ * (ops/bvh_wide.py::flatten_wide_rows): for each of the 8 direction
+ * octants, children sorted near-first by ascending centroid projection
+ * onto the octant direction (empty slots last), rows laid out
+ * lox*B | loy*B | loz*B | hix*B | hiy*B | hiz*B | meta*B (meta bitcast).
+ * The numpy formulation (argsort + fancy gathers + transposes per octant)
+ * measured seconds at demo-scene node counts; this is one pass. */
+EXPORT void wide_octant_rows(
+    const int32_t *metas,   /* [W*branch], NONE = INT32_MIN for empty  */
+    const float *los,       /* [W*branch*3] */
+    const float *his,       /* [W*branch*3] */
+    int32_t W, int32_t branch,
+    float *out)             /* [8*W*branch*7] */
+{
+    const int32_t NONE_META = (int32_t)0x80000000;
+    const int32_t row_w = branch * 7;
+    for (int32_t w = 0; w < W; w++) {
+        const int32_t *m = metas + (int64_t)w * branch;
+        const float *lo = los + (int64_t)w * branch * 3;
+        const float *hi = his + (int64_t)w * branch * 3;
+        float cen[3][64];
+        for (int32_t s = 0; s < branch; s++)
+            for (int k = 0; k < 3; k++)
+                cen[k][s] = (lo[s * 3 + k] + hi[s * 3 + k]) * 0.5f;
+        for (int o = 0; o < 8; o++) {
+            float sx = (o & 1) ? 1.f : -1.f;
+            float sy = (o & 2) ? 1.f : -1.f;
+            float sz = (o & 4) ? 1.f : -1.f;
+            float key[64];
+            int32_t ord[64];
+            for (int32_t s = 0; s < branch; s++) {
+                key[s] = (m[s] == NONE_META)
+                    ? FLT_MAX
+                    : (cen[0][s] * sx + cen[1][s] * sy) + cen[2][s] * sz;
+                ord[s] = s;
+            }
+            /* stable insertion sort by key (branch is tiny) */
+            for (int32_t i = 1; i < branch; i++) {
+                int32_t oi = ord[i];
+                float ki = key[oi];
+                int32_t j = i - 1;
+                while (j >= 0 && key[ord[j]] > ki) {
+                    ord[j + 1] = ord[j];
+                    j--;
+                }
+                ord[j + 1] = oi;
+            }
+            float *row = out + ((int64_t)o * W + w) * row_w;
+            int32_t *mrow = (int32_t *)(row + branch * 6);
+            for (int32_t s = 0; s < branch; s++) {
+                int32_t src = ord[s];
+                int empty = (m[src] == NONE_META);
+                for (int k = 0; k < 3; k++) {
+                    row[k * branch + s] =
+                        empty ? 3.0e38f : lo[src * 3 + k];
+                    row[(3 + k) * branch + s] =
+                        empty ? -3.0e38f : hi[src * 3 + k];
+                }
+                mrow[s] = m[src];
+            }
+        }
+    }
+}

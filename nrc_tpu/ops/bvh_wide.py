@@ -280,6 +280,49 @@ def flatten_wide_rows(
     # near-axis directions, turning the inverted box into an always-hit.
     valid = metas != NONE
 
+    out = _octant_rows(metas, los, his, branch)
+
+    root = np.stack(
+        [np.min(np.where(valid[0][:, None], los[0], np.inf), axis=0),
+         np.max(np.where(valid[0][:, None], his[0], -np.inf), axis=0)]
+    ).astype(np.float32)
+
+    return {
+        "wnode": out,                                    # [8, W, 56] f32
+        "leaf_pack": leaf_pack,                          # [L, ls*(row_w+1)]
+        "leaf_ids": ids_mat,
+        "root": root,                                    # [2, 3] exact AABB
+        "depth": np.zeros((1, depth + 1), np.int32),     # static via shape
+        # (+1 safety slot over the exact max level count)
+        # per-primitive payload width, shape-encoded like depth: consumers
+        # derive leaf_size = leaf_pack.shape[1] // (row_w + 1) instead of
+        # hardcoding the 9-float triangle row layout
+        "leaf_row_w": np.zeros((1, row_w), np.int32),
+    }
+
+
+def _octant_rows(metas, los, his, branch: int) -> np.ndarray:
+    """[8, W, branch*7] component-major octant-sorted node rows. Native C
+    single pass (``nrc_native.c::wide_octant_rows``) with the original
+    numpy formulation as fallback — the per-octant argsort + fancy-gather +
+    transpose chain measured seconds at demo-scene node counts."""
+    W = metas.shape[0]
+    valid = metas != NONE
+
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "wide_octant_rows"):
+        metas_c = np.ascontiguousarray(metas, np.int32)
+        los_c = np.ascontiguousarray(los, np.float32)
+        his_c = np.ascontiguousarray(his, np.float32)
+        out = np.empty((8, W, branch * 7), np.float32)
+        lib.wide_octant_rows(
+            metas_c.ctypes.data, los_c.ctypes.data, his_c.ctypes.data,
+            np.int32(W), np.int32(branch), out.ctypes.data,
+        )
+        return out
+
     cen = (los + his) * 0.5
     out = np.empty((8, W, branch * 7), np.float32)
     for o in range(8):
@@ -303,21 +346,4 @@ def flatten_wide_rows(
         )
         out[o, :, : branch * 6] = boxes
         out[o, :, branch * 6:] = pmeta.view(np.float32)
-
-    root = np.stack(
-        [np.min(np.where(valid[0][:, None], los[0], np.inf), axis=0),
-         np.max(np.where(valid[0][:, None], his[0], -np.inf), axis=0)]
-    ).astype(np.float32)
-
-    return {
-        "wnode": out,                                    # [8, W, 56] f32
-        "leaf_pack": leaf_pack,                          # [L, ls*(row_w+1)]
-        "leaf_ids": ids_mat,
-        "root": root,                                    # [2, 3] exact AABB
-        "depth": np.zeros((1, depth + 1), np.int32),     # static via shape
-        # (+1 safety slot over the exact max level count)
-        # per-primitive payload width, shape-encoded like depth: consumers
-        # derive leaf_size = leaf_pack.shape[1] // (row_w + 1) instead of
-        # hardcoding the 9-float triangle row layout
-        "leaf_row_w": np.zeros((1, row_w), np.int32),
-    }
+    return out

@@ -625,14 +625,38 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
 
 
 def load_material(
-    search_paths: tuple[str, ...], rel_path: str, name: str
+    search_paths: tuple[str, ...], rel_path: str, name: str,
+    report: Optional[list] = None,
 ) -> Material:
-    """Resolve ``rel_path`` against search paths and parse; diffuse fallback."""
+    """Resolve ``rel_path`` against search paths and parse; diffuse fallback.
+
+    The fallback is LOUD, not silent: when ``report`` is given, one entry
+    per material records what happened (resolved path, archetype chosen,
+    or why it degraded to gray diffuse). The reference surfaces MDL compile
+    errors through its message relay (``Raytracer.cpp:1655-1669``); the CLI
+    prints this report's warnings the same way.
+    """
+    err: Optional[str] = None
     for sp in search_paths + ("",):
         p = os.path.join(sp, rel_path) if sp else rel_path
         if os.path.isfile(p):
             try:
-                return parse_mdl_material(p, name)
-            except Exception:
+                mat = parse_mdl_material(p, name)
+                if report is not None:
+                    report.append({
+                        "reference": name, "path": rel_path,
+                        "resolved": p, "status": "ok",
+                        "archetype": mat.archetype.name,
+                    })
+                return mat
+            except Exception as e:  # degrade, but say so
+                err = f"parse_error: {type(e).__name__}: {e}"
                 break
+    if report is not None:
+        report.append({
+            "reference": name, "path": rel_path, "resolved": None,
+            "status": err or "not_found",
+            "archetype": Archetype.DIFFUSE_REFLECTION.name,
+            "fallback": "gray diffuse",
+        })
     return Material(name=name)

@@ -64,6 +64,15 @@ class Scene:
     lens_shader: int = 0
     # curve primitives (hair strands as rounded-cone soup; scene/hair.py)
     curves: object = None  # Optional[CurveSegments]
+    # per-material load report (mdl.load_material): status / archetype /
+    # fallback reasons — the loud-failure analog of the reference's MDL
+    # message relay (Raytracer.cpp:1655-1669)
+    material_report: Optional[List[dict]] = None
+
+    def material_load_warnings(self) -> List[dict]:
+        return [
+            e for e in (self.material_report or []) if e["status"] != "ok"
+        ]
 
     @property
     def num_triangles(self) -> int:
@@ -140,8 +149,11 @@ def build_scene(
     # ---- materials ----------------------------------------------------
     mat_rows: List[Material] = []
     mat_index: Dict[str, int] = {}
+    mat_report: List[dict] = []
     for mdecl in desc.materials:
-        mat = load_material(search_paths, mdecl.path, mdecl.reference)
+        mat = load_material(
+            search_paths, mdecl.path, mdecl.reference, report=mat_report
+        )
         mat_index[mdecl.reference] = len(mat_rows)
         mat_rows.append(mat)
     if not mat_rows:
@@ -258,6 +270,7 @@ def build_scene(
         camera=camera,
         lens_shader=lens,
         curves=curves,
+        material_report=mat_report,
     )
 
 
