@@ -150,6 +150,30 @@ def build_curve_bvh(seg, max_leaf: int = 4):
     return flatten_skip_links_rows(b, rows, leaf_size=max_leaf)
 
 
+def build_wide_curve_bvh(seg, leaf_size: int = 8, max_leaf: int = 4):
+    """8-wide BVH over segment AABBs (the production traversal for large
+    strand counts — same collapse + component-major row layout as
+    triangles, ``ops/bvh_wide.py``); payload rows pa | ba | (ra, rb, m0)
+    consumed by ``intersect_wide._leaf_cone_t``."""
+    from .bvh import build_bvh
+    from .bvh_wide import flatten_wide_rows
+
+    lo, hi, lo2 = segment_aabb_corners(seg.pa, seg.pb, seg.ra, seg.rb)
+    b = build_bvh(lo, hi, lo2, max_leaf=max_leaf)
+    ba = (seg.pb - seg.pa).astype(np.float32)
+    rows = np.concatenate(
+        [
+            seg.pa.astype(np.float32),
+            ba,
+            seg.ra.astype(np.float32)[:, None],
+            seg.rb.astype(np.float32)[:, None],
+            np.sum(ba * ba, axis=-1, dtype=np.float32)[:, None],
+        ],
+        axis=-1,
+    )
+    return flatten_wide_rows(b, rows, leaf_size=leaf_size)
+
+
 def _skip_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
     """Two-phase lockstep skip-link walk (see
     ops/intersect.py::_skip_traverse); the outer leaf batch runs the
@@ -250,11 +274,20 @@ def _chunked_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
 
 
 def intersect_curves_bvh(org, direction, bvh, curves: CurveSoA, tmin, tmax) -> CurveHit:
+    if "wnode" in bvh:  # 8-wide production walk (large strand counts)
+        from .intersect_wide import intersect_curves_wbvh
+
+        t, prim = intersect_curves_wbvh(org, direction, bvh, tmin, tmax)
+        return CurveHit(t=t, prim=prim)
     t, prim = _chunked_traverse_curves(org, direction, bvh, tmin, tmax, any_hit=False)
     return CurveHit(t=t, prim=prim)
 
 
 def occluded_curves_bvh(org, direction, bvh, curves: CurveSoA, tmin, tmax) -> jnp.ndarray:
+    if "wnode" in bvh:
+        from .intersect_wide import occluded_curves_wbvh
+
+        return occluded_curves_wbvh(org, direction, bvh, tmin, tmax)
     _, prim = _chunked_traverse_curves(org, direction, bvh, tmin, tmax, any_hit=True)
     return prim >= 0
 

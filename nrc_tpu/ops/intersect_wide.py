@@ -43,10 +43,102 @@ import os as _os
 _SKIP_LEAF = _os.environ.get("NRC_WIDE_SKIP_LEAF", "0") == "1"
 
 
+def _leaf_tri_t(c, pid, org, direction, tmin, cap):
+    """Component-major Moller-Trumbore over a leaf's triangle columns.
+
+    ``c``: 9 [N, ls] planes (p0x..p0z | e1x..e1z | e2x..e2z). Returns
+    t_ok [N, ls] with RT_MAX at invalid/missed slots. All math is
+    full-width [N, ls] elementwise (no minor-dim-3 axis)."""
+    p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = c
+    dx = direction[:, 0:1]
+    dy = direction[:, 1:2]
+    dz = direction[:, 2:3]
+    # pvec = d x e2
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz          # [N, ls]
+    ok = jnp.abs(det) > 1e-12
+    invd = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tvx = org[:, 0:1] - p0x
+    tvy = org[:, 1:2] - p0y
+    tvz = org[:, 2:3] - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
+    # qvec = tvec x e1
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * invd
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * invd
+    ok = (
+        ok & (pid >= 0)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > tmin[:, None]) & (t < cap[:, None])
+    )
+    return jnp.where(ok, t, RT_MAX)
+
+
+def _leaf_cone_t(c, pid, org, direction, tmin, cap):
+    """Component-major round-cone test over a leaf's curve-segment columns.
+
+    ``c``: 9 [N, ls] planes (pax..paz | bax..baz | ra | rb | m0) — the
+    curve payload rows of ``curve_intersect.build_wide_curve_bvh``. Same
+    quadratic + sphere-cap formulation as ``curve_intersect._roundcone_t``
+    but laid out as full-width [N, ls] elementwise math (the triangle-leaf
+    playbook applied to hair; VERDICT r2 next #6). ``direction`` must be
+    normalized (same contract as the binary curve walk)."""
+    pax, pay, paz, bax, bay, baz, ra, rb, m0 = c
+    dx = direction[:, 0:1]
+    dy = direction[:, 1:2]
+    dz = direction[:, 2:3]
+    oax = org[:, 0:1] - pax
+    oay = org[:, 1:2] - pay
+    oaz = org[:, 2:3] - paz
+    obx = oax - bax
+    oby = oay - bay
+    obz = oaz - baz
+    rr = ra - rb
+    m1 = bax * oax + bay * oay + baz * oaz
+    m2 = bax * dx + bay * dy + baz * dz
+    m3 = dx * oax + dy * oay + dz * oaz
+    m5 = oax * oax + oay * oay + oaz * oaz
+    m6 = obx * dx + oby * dy + obz * dz
+    m7 = obx * obx + oby * oby + obz * obz
+
+    d2 = m0 - rr * rr
+    k2 = d2 - m2 * m2
+    k1 = d2 * m3 - m1 * m2 + m2 * rr * ra
+    k0 = d2 * m5 - m1 * m1 + m1 * rr * ra * 2.0 - m0 * ra * ra
+    h = k1 * k1 - k0 * k2
+    ok2 = jnp.abs(k2) > 1e-20
+    safe_k2 = jnp.where(ok2, k2, 1.0)
+    t_body = (-jnp.sqrt(jnp.maximum(h, 0.0)) - k1) / safe_k2
+    y = m1 - ra * rr + t_body * m2
+    tn = tmin[:, None]
+    tx = cap[:, None]
+    body_ok = (
+        (h >= 0.0) & ok2 & (y > 0.0) & (y < d2)
+        & (t_body > tn) & (t_body < tx)
+    )
+    t_body = jnp.where(body_ok, t_body, RT_MAX)
+
+    h1 = m3 * m3 - m5 + ra * ra
+    t_ca = -m3 - jnp.sqrt(jnp.maximum(h1, 0.0))
+    t_ca = jnp.where((h1 >= 0.0) & (t_ca > tn) & (t_ca < tx), t_ca, RT_MAX)
+    h2 = m6 * m6 - m7 + rb * rb
+    t_cb = -m6 - jnp.sqrt(jnp.maximum(h2, 0.0))
+    t_cb = jnp.where((h2 >= 0.0) & (t_cb > tn) & (t_cb < tx), t_cb, RT_MAX)
+
+    t = jnp.minimum(t_body, jnp.minimum(t_ca, t_cb))
+    return jnp.where(pid >= 0, t, RT_MAX)
+
+
 def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
-                   with_stats: bool = False):
+                   with_stats: bool = False, leaf_test=_leaf_tri_t):
     """One chunk's lockstep walk. org/direction [N,3]; returns (t, prim)
-    (+ (descend_steps, outer_rounds) scalars when ``with_stats``)."""
+    (+ (descend_steps, outer_rounds) scalars when ``with_stats``).
+    ``leaf_test`` consumes a leaf row's component-major payload columns
+    (triangles by default; ``_leaf_cone_t`` for curve segments)."""
     from .bvh_wide import BRANCH as branch
 
     n = org.shape[0]
@@ -54,14 +146,10 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
     assert row_w == branch * 7, "component-major f32 rows expected"
     nodes_flat = wb["wnode"].reshape(octants * W, row_w)
     D = wb["depth"].shape[1]  # static max depth
-    # per-primitive payload width, shape-carried by the build (9 for
-    # triangles; other widths for other primitive kinds)
+    # per-primitive payload width, shape-carried by the build (9 floats for
+    # both triangles p0|e1|e2 and curve segments pa|ba|ra,rb,m0)
     prim_row_w = (
         wb["leaf_row_w"].shape[1] if "leaf_row_w" in wb else 9
-    )
-    assert prim_row_w == 9, (
-        "the wide walk's leaf test is Moller-Trumbore over 9-float "
-        "(p0|e1|e2) rows; other primitive kinds need their own leaf block"
     )
     leaf_size = wb["leaf_pack"].shape[1] // (prim_row_w + 1)
     assert wb["leaf_pack"].shape[1] == (prim_row_w + 1) * leaf_size
@@ -133,38 +221,13 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
         tri = wb["leaf_pack"][jnp.maximum(lrow, 0)]          # [N, ls*10]
         if not _SKIP_LEAF:
             ls = leaf_size
-            # component-major columns (bvh_wide layout): all Moller-Trumbore
-            # math below is [N, ls] elementwise with full VPU rows
-            c = [tri[:, k * ls: (k + 1) * ls] for k in range(9)]
-            p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z = c
-            pid = tri[:, 9 * ls:].view(jnp.int32)            # [N, ls]
-            dx = direction[:, 0:1]
-            dy = direction[:, 1:2]
-            dz = direction[:, 2:3]
-            # pvec = d x e2
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz          # [N, ls]
-            ok = jnp.abs(det) > 1e-12
-            invd = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-            tvx = org[:, 0:1] - p0x
-            tvy = org[:, 1:2] - p0y
-            tvz = org[:, 2:3] - p0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
-            # qvec = tvec x e1
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dx * qvx + dy * qvy + dz * qvz) * invd
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * invd
+            # component-major columns (bvh_wide layout): all leaf math is
+            # [N, ls] elementwise with full VPU rows
+            c = [tri[:, k * ls: (k + 1) * ls] for k in range(prim_row_w)]
+            pid = tri[:, prim_row_w * ls:].view(jnp.int32)   # [N, ls]
             cap = jnp.minimum(tmax, best_t)
-            ok = (
-                do_leaf[:, None] & ok & (pid >= 0)
-                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > tmin[:, None]) & (t < cap[:, None])
-            )
-            t_ok = jnp.where(ok, t, RT_MAX)
+            t_ok = leaf_test(c, pid, org, direction, tmin, cap)
+            t_ok = jnp.where(do_leaf[:, None], t_ok, RT_MAX)
             k_best = jnp.argmin(t_ok, axis=1)                # [N]
             t_best = jnp.min(t_ok, axis=1)
             hit_any = t_best < cap
@@ -241,9 +304,12 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
     return t, prim
 
 
-def _chunked_wide(org, direction, wb, tmin, tmax, any_hit: bool):
+def _chunked_wide(org, direction, wb, tmin, tmax, any_hit: bool,
+                  leaf_test=_leaf_tri_t):
     return chunked_over_rays(
-        lambda o, d, tn, tx: _wide_traverse(o, d, wb, tn, tx, any_hit),
+        lambda o, d, tn, tx: _wide_traverse(
+            o, d, wb, tn, tx, any_hit, leaf_test=leaf_test
+        ),
         org, direction, (wb["root"][0], wb["root"][1]), tmin, tmax,
     )
 
@@ -274,4 +340,19 @@ def intersect_wbvh(org, direction, wb, tris: TriSoA, tmin, tmax) -> Hit:
 
 def occluded_wbvh(org, direction, wb, tris: TriSoA, tmin, tmax) -> jnp.ndarray:
     _, prim = _chunked_wide(org, direction, wb, tmin, tmax, any_hit=True)
+    return prim >= 0
+
+
+def intersect_curves_wbvh(org, direction, wb, tmin, tmax):
+    """Closest hit over a wide CURVE BVH (payload rows pa|ba|ra,rb,m0;
+    ``curve_intersect.build_wide_curve_bvh``) -> (t [N], prim [N])."""
+    return _chunked_wide(
+        org, direction, wb, tmin, tmax, any_hit=False, leaf_test=_leaf_cone_t
+    )
+
+
+def occluded_curves_wbvh(org, direction, wb, tmin, tmax) -> jnp.ndarray:
+    _, prim = _chunked_wide(
+        org, direction, wb, tmin, tmax, any_hit=True, leaf_test=_leaf_cone_t
+    )
     return prim >= 0

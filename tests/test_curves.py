@@ -110,6 +110,42 @@ class TestBVHParity:
         occ = occluded_curves_bvh(jnp.asarray(org), jnp.asarray(d), bvh, soa, tmin, tmax)
         np.testing.assert_array_equal(np.asarray(occ), np.asarray(hb.valid))
 
+    def test_wide_walk_matches_bruteforce(self):
+        """8-wide curve walk (production traversal for large strand sets):
+        identical winners vs brute force, same contract as the binary walk."""
+        from nrc_tpu.ops.curve_intersect import build_wide_curve_bvh
+
+        rng = np.random.default_rng(7)
+        k = 700
+        pa = rng.uniform(-1, 1, (k, 3)).astype(np.float32)
+        pb = pa + rng.uniform(-0.2, 0.2, (k, 3)).astype(np.float32)
+        ra = rng.uniform(0.01, 0.05, k).astype(np.float32)
+        rb = rng.uniform(0.01, 0.05, k).astype(np.float32)
+        seg = make_segments(pa, pb, ra, rb)
+        soa = CurveSoA.build(seg)
+        wb = {kk: jnp.asarray(vv) for kk, vv in build_wide_curve_bvh(seg).items()}
+        assert "wnode" in wb
+
+        n = 256
+        org = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        tmin = jnp.zeros(n)
+        tmax = jnp.full((n,), 1e9)
+
+        hb = intersect_curves_bruteforce(
+            jnp.asarray(org), jnp.asarray(d), soa, tmin, tmax
+        )
+        hw = intersect_curves_bvh(
+            jnp.asarray(org), jnp.asarray(d), wb, soa, tmin, tmax
+        )
+        np.testing.assert_array_equal(np.asarray(hb.prim), np.asarray(hw.prim))
+        np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hw.t), rtol=2e-4)
+        occ = occluded_curves_bvh(
+            jnp.asarray(org), jnp.asarray(d), wb, soa, tmin, tmax
+        )
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(hb.valid))
+
 
 @pytest.mark.skipif(not __import__("os").path.isfile(FUR), reason="fur.hair absent")
 class TestFurHair:
