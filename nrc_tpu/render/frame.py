@@ -71,13 +71,15 @@ def _pixel_grid(cfg: FrameConfig, rows: Optional[int] = None, row_offset=0):
     """Pixel coords + linear indices for ``rows`` image rows starting at
     ``row_offset`` (traced). Sharding the frame over rows (P1 pixel-space
     data parallelism) just offsets this grid per chip, so per-pixel RNG
-    streams match the single-chip program exactly."""
-    import numpy as np
+    streams match the single-chip program exactly.
 
+    Computed with on-device iota, NOT numpy meshgrid: baked-in constants
+    of #pixels size (~11 MB at 720p) are shipped per execute RPC on the
+    relayed TPU backend — measured ~60 ms/MB per frame."""
     rows = cfg.height if rows is None else rows
-    ys, xs = np.meshgrid(np.arange(rows), np.arange(cfg.width), indexing="ij")
-    ys = jnp.asarray(ys.reshape(-1), jnp.int32) + row_offset
-    xs = jnp.asarray(xs.reshape(-1), jnp.int32)
+    lin = jnp.arange(rows * cfg.width, dtype=jnp.int32)
+    ys = lin // cfg.width + row_offset
+    xs = lin % cfg.width
     return (
         jnp.stack([xs, ys], -1).astype(jnp.float32),
         (ys * cfg.width + xs).astype(jnp.uint32),
@@ -85,15 +87,13 @@ def _pixel_grid(cfg: FrameConfig, rows: Optional[int] = None, row_offset=0):
 
 
 def _tile_origins(cfg: FrameConfig, tile_rows: Optional[int] = None, row_offset=0):
-    import numpy as np
-
     tsx, tsy = cfg.tile_size
     ntx, nty = cfg.num_tiles_xy
     nty = nty if tile_rows is None else tile_rows
-    ty, tx = np.meshgrid(np.arange(nty), np.arange(ntx), indexing="ij")
+    lin = jnp.arange(nty * ntx, dtype=jnp.int32)
     return (
-        jnp.asarray(tx.reshape(-1) * tsx, jnp.int32),
-        jnp.asarray(ty.reshape(-1) * tsy, jnp.int32) + row_offset,
+        (lin % ntx) * tsx,
+        (lin // ntx) * tsy + row_offset,
     )
 
 

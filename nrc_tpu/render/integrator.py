@@ -795,10 +795,20 @@ def trace_wavefront(
                 # re-traces beyond it (__anyhit__shadow_cutout semantics,
                 # hit.cu:1447-1468). 3 hops cover stacked cutouts; the tail
                 # is treated as visible (transparent hits never occlude).
-                occluded = jnp.zeros((n,), bool)
-                sh_tmin = jnp.full((n,), eps)
-                sh_done = shadow_tmax <= 0.0
+                # The hops run under a while_loop that exits as soon as
+                # every lane's shadow ray resolved (almost always hop 1) —
+                # the unrolled version paid 3 full traversal rounds per NEE
+                # and compiled 3 traversal instances. The per-hop uniforms
+                # are PRE-drawn so the per-lane RNG stream is bit-identical
+                # to the unrolled form regardless of the exit hop.
+                u_sh_hops = []
                 for _ in range(3):
+                    seed, u_h = R.rng(seed)
+                    u_sh_hops.append(u_h)
+                u_sh_hops = jnp.stack(u_sh_hops)             # [3, N]
+
+                def sh_body(c):
+                    occluded, sh_tmin, sh_done, shadow_traced, hop = c
                     shadow_traced = shadow_traced + (~sh_done).astype(jnp.int32)
                     sh = closest_hit(
                         p_hit, ls.direction, sh_tmin,
@@ -806,12 +816,27 @@ def trace_wavefront(
                     )
                     sh_prim = jnp.maximum(sh.prim, 0)
                     op = cutout_opacity_at(sh_prim, sh.u, sh.v)
-                    seed, u_sh = R.rng(seed)
+                    u_sh = jax.lax.dynamic_index_in_dim(
+                        u_sh_hops, hop, keepdims=False
+                    )
                     blocked = sh.valid & (u_sh < op) & ~sh_done
                     occluded = occluded | blocked
                     cont = sh.valid & ~blocked & ~sh_done
                     sh_tmin = jnp.where(cont, sh.t + eps, sh_tmin)
                     sh_done = sh_done | ~cont
+                    return occluded, sh_tmin, sh_done, shadow_traced, hop + 1
+
+                occluded, _, _, shadow_traced, _ = jax.lax.while_loop(
+                    lambda c: (c[4] < 3) & ~jnp.all(c[2]),
+                    sh_body,
+                    (
+                        jnp.zeros((n,), bool),
+                        jnp.full((n,), eps),
+                        shadow_tmax <= 0.0,
+                        shadow_traced,
+                        jnp.int32(0),
+                    ),
+                )
             else:
                 occluded = any_hit(
                     p_hit, ls.direction, jnp.full((n,), eps), shadow_tmax
