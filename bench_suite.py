@@ -166,6 +166,62 @@ def case_mlp(spp):
     }), flush=True)
 
 
+def case_quality(spp):
+    """Shipped-config quality, regenerated mechanically (VERDICT r2 #8):
+    render the reference's Cornell config (320x320, 256 spp,
+    system_mdl_cornell.txt) in FULL mode with online training for BOTH
+    encodings and report tonemapped PSNR/SSIM vs the cached 1024-spp
+    NO_CACHE ground truth artifact (tests/data/cornell_gt_320.npz,
+    tools/make_ground_truth.py). ``--spp`` is ignored: the config IS the
+    shipped one."""
+    del spp
+    import numpy as np
+    import jax.numpy as jnp
+
+    from nrc_tpu.config import InputEncoding, NetworkConfig, RenderMode
+    from nrc_tpu.render.renderer import Renderer
+    from nrc_tpu.scene.scene_builder import load_scene
+    from nrc_tpu.utils.metrics import psnr, ssim
+    from nrc_tpu.utils.tonemap import tonemap_to_u8
+
+    gt_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "data", "cornell_gt_320.npz",
+    )
+    gt = np.load(gt_path)["hdr"]
+
+    for enc in (InputEncoding.HASH, InputEncoding.FREQUENCY):
+        scene, system = load_scene(
+            "/root/reference/data/system_mdl_cornell.txt",
+            "/root/reference/data/scene_mdl_cornell.txt",
+        )
+        system.tile_size = (4, 4)
+        shipped_spp = system.samples_sqrt ** 2  # 256 at the shipped config
+        r = Renderer(
+            scene, system, net_cfg=NetworkConfig(encoding=enc),
+            render_mode=RenderMode.FULL, train=True, adaptive_tiles=False,
+        )
+        t0 = time.perf_counter()
+        for _ in range(shipped_spp):
+            r.render_frame()
+        tm = system.tonemapper
+        img = np.asarray(
+            tonemap_to_u8(jnp.asarray(r.image_hdr()), tm), np.float32
+        ) / 255.0
+        dt = time.perf_counter() - t0
+        gt_t = np.asarray(
+            tonemap_to_u8(jnp.asarray(gt), tm), np.float32
+        ) / 255.0
+        print(json.dumps({
+            "case": f"quality_cornell320_{enc.name.lower()}",
+            "metric": "psnr_db",
+            "value": round(float(psnr(img, gt_t)), 2),
+            "ssim": round(float(ssim(img, gt_t)), 4),
+            "spp": shipped_spp, "seconds": round(dt, 1),
+            "unit": "dB vs 1024-spp NO_CACHE GT (tonemapped)",
+        }), flush=True)
+
+
 CASES = {
     "cornell": case_cornell,
     "hash": case_hash,
@@ -174,6 +230,7 @@ CASES = {
     "demo720": case_demo_720,
     "hair": case_hair,
     "mlp": case_mlp,
+    "quality": case_quality,
 }
 
 

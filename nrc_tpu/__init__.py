@@ -23,3 +23,18 @@ geometry, lights, materials, camera), ``parallel/`` (mesh/shard_map scaling),
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the demo-scene frame program compiles
+# for tens of minutes on the tunneled TPU; caching makes re-runs of the
+# same config near-instant. Set before jax initializes (jax reads the env
+# lazily at first compile); opt out with NRC_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("NRC_NO_COMPILE_CACHE"):
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "nrc_tpu_xla"),
+    )
+    # cache every compile, however quick (min compile time default is 1 s)
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+del _os

@@ -111,6 +111,15 @@ class NetworkConfig:
     # + Identity(6)
     freq_n_frequencies: int = 12
     oneblob_n_bins: int = 4
+    # TriangleWave input-domain scale. Queries arrive with positions
+    # normalized to a ~0.1-unit span (FrameConfig.position_scale =
+    # 0.1/extent); at scale 1.0 the first ~4 octaves of tri_j(x * 2^j) are
+    # then nearly linear and carry no signal. The reference feeds the
+    # MDL-state position scaled by 0.005 (hit.cu:595-597), which spans
+    # ~2.75 units on its Cornell — domain scale 32 reproduces that octave
+    # coverage (0.1 * 32 = 3.2). A/B'd in BASELINE.md (tools/quality_ab.py);
+    # default stays 1.0 until the TPU A/B confirms the winner.
+    freq_domain_scale: float = 1.0
     # hash encoding: 16 levels, 2 features/level, 2^15 table, base res 16, x2
     hash_n_levels: int = 16
     hash_n_features_per_level: int = 2

@@ -72,8 +72,14 @@ def _normalized_blob_inputs(query: jnp.ndarray) -> jnp.ndarray:
 
 
 def encode_frequency(query: jnp.ndarray, cfg: NetworkConfig) -> jnp.ndarray:
-    """Frequency-path composite encoding: [.., 15] -> [.., 66]."""
-    tri = triangle_wave(query[..., POS], cfg.freq_n_frequencies)
+    """Frequency-path composite encoding: [.., 15] -> [.., 66].
+
+    Positions are re-scaled by ``freq_domain_scale`` so the triangle-wave
+    octaves cover the scene the way the reference's 0.005-scaled
+    MDL-state positions do (see NetworkConfig.freq_domain_scale)."""
+    tri = triangle_wave(
+        query[..., POS] * cfg.freq_domain_scale, cfg.freq_n_frequencies
+    )
     blob = one_blob(_normalized_blob_inputs(query), cfg.oneblob_n_bins)
     ident = query[..., 9:15]
     return jnp.concatenate([tri, blob, ident], axis=-1)
