@@ -31,10 +31,22 @@ __version__ = "0.1.0"
 import os as _os
 
 if not _os.environ.get("NRC_NO_COMPILE_CACHE"):
-    _os.environ.setdefault(
+    _cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache", "nrc_tpu_xla"),
     )
-    # cache every compile, however quick (min compile time default is 1 s)
-    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    # jax 0.9.0 does not read JAX_COMPILATION_CACHE_DIR from the
+    # environment (config.compilation_cache_dir stays None); it must be
+    # set through jax.config. jax is a hard dependency of every entry
+    # point, so importing it here only moves the import earlier.
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        # only persist genuinely expensive programs (the demo frame
+        # program compiles for minutes; trivia would churn the dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+    del _jax, _cache_dir
 del _os

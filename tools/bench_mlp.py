@@ -41,7 +41,6 @@ def main():
     ap.add_argument("--scan-steps", type=int, default=50)
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     import jax
     import jax.numpy as jnp
 

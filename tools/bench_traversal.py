@@ -19,15 +19,34 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
+SCENES = {
+    "vmat": ("system_mdl_vMaterials.txt", "scene_mdl_vMaterials.txt"),
+    "demo": ("system_mdl_demo.txt", "scene_mdl_demo.txt"),
+    "cornell": ("system_mdl_cornell.txt", "scene_mdl_cornell.txt"),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--impl", default="skip", choices=["skip", "wide"])
+    ap.add_argument("--scene", default="vmat", choices=sorted(SCENES))
+    ap.add_argument(
+        "--mode", default="incoherent", choices=["incoherent", "camera"],
+        help="camera = primary rays from the scene camera (coherent)",
+    )
     ap.add_argument("--leaf-size", type=int, default=8)
+    ap.add_argument(
+        "--sweep-chunks", default=None,
+        help="comma list of traversal chunk sizes to measure in one process",
+    )
+    ap.add_argument("--json", action="store_true")
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--check-n", type=int, default=4096)
     args = ap.parse_args()
+
+    import json
 
     import jax
     import jax.numpy as jnp
@@ -35,9 +54,9 @@ def main():
     from nrc_tpu.scene.scene_builder import load_scene
     from nrc_tpu.render.scene_device import upload_scene
 
-    scene, _ = load_scene(
-        "/root/reference/data/system_mdl_vMaterials.txt",
-        "/root/reference/data/scene_mdl_vMaterials.txt",
+    sysf, scnf = SCENES[args.scene]
+    scene, sysdesc = load_scene(
+        f"/root/reference/data/{sysf}", f"/root/reference/data/{scnf}"
     )
     dev = upload_scene(scene)
     tris = dev.tris
@@ -45,9 +64,28 @@ def main():
 
     lo, hi = scene.aabb()
     rng = np.random.default_rng(0)
-    org = (lo + rng.random((args.rays, 3)) * (hi - lo)).astype(np.float32)
-    d = rng.normal(size=(args.rays, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    if args.mode == "camera":
+        # primary rays: the scene camera over a sqrt(rays)^2 grid
+        from nrc_tpu.scene.camera import generate_primary_rays
+
+        side = int(round(args.rays ** 0.5))
+        n = side * side
+        px = np.tile(np.arange(side), side).astype(np.float32)
+        py = np.repeat(np.arange(side), side).astype(np.float32)
+        pxy = np.stack([px, py], axis=-1)
+        frac = rng.random((n, 2)).astype(np.float32)
+        cp, cu, cv, cw = scene.camera.frustum()
+        org, d = generate_primary_rays(
+            jnp.asarray(pxy), jnp.asarray(frac), (side, side),
+            jnp.asarray(cp), jnp.asarray(cu), jnp.asarray(cv), jnp.asarray(cw),
+        )
+        org = np.asarray(org, np.float32)
+        d = np.asarray(d, np.float32)
+        args.rays = n
+    else:
+        org = (lo + rng.random((args.rays, 3)) * (hi - lo)).astype(np.float32)
+        d = rng.normal(size=(args.rays, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
     org_j = jnp.asarray(org)
     dir_j = jnp.asarray(d)
     tmin = jnp.zeros((args.rays,), jnp.float32)
@@ -58,43 +96,71 @@ def main():
     if args.impl == "skip":
         from nrc_tpu.ops.intersect import intersect_bvh
 
-        fn = jax.jit(lambda o, dd: intersect_bvh(o, dd, dev.bvh, tris, tmin, tmax))
+        fn_raw = lambda o, dd: intersect_bvh(o, dd, dev.bvh, tris, tmin, tmax)
     else:
         from nrc_tpu.ops.intersect_wide import intersect_wbvh
         from nrc_tpu.ops.bvh_wide import build_wide_bvh
 
         import os
 
-        cache = f"/tmp/wbvh_{args.leaf_size}_cm.npz"
         t0 = time.perf_counter()
-        if os.path.exists(cache):
-            wb_np = dict(np.load(cache))
+        if (
+            args.leaf_size == 8
+            and dev.bvh is not None and "wnode" in dev.bvh
+        ):
+            wb = dev.bvh  # upload_scene already built the production wide BVH
+            print(f"wide BVH from upload_scene, nodes {wb['wnode'].shape}",
+                  file=sys.stderr)
         else:
-            p0 = np.asarray(tris.p0)
-            wb_np = build_wide_bvh(
-                p0, p0 + np.asarray(tris.e1), p0 + np.asarray(tris.e2),
-                leaf_size=args.leaf_size,
-            )
-            np.savez(cache, **wb_np)
-        print(f"wide build: {time.perf_counter() - t0:.2f}s, "
-              f"nodes {wb_np['wnode'].shape}", file=sys.stderr)
-        wb = jax.tree.map(jnp.asarray, wb_np)
-        fn = jax.jit(lambda o, dd: intersect_wbvh(o, dd, wb, tris, tmin, tmax))
+            cache = f"/tmp/wbvh_{args.scene}_{args.leaf_size}_cm.npz"
+            if os.path.exists(cache):
+                wb_np = dict(np.load(cache))
+            else:
+                p0 = np.asarray(tris.p0)
+                wb_np = build_wide_bvh(
+                    p0, p0 + np.asarray(tris.e1), p0 + np.asarray(tris.e2),
+                    leaf_size=args.leaf_size,
+                )
+                np.savez(cache, **wb_np)
+            print(f"wide build: {time.perf_counter() - t0:.2f}s, "
+                  f"nodes {wb_np['wnode'].shape}", file=sys.stderr)
+            wb = jax.tree.map(jnp.asarray, wb_np)
+        fn_raw = lambda o, dd: intersect_wbvh(o, dd, wb, tris, tmin, tmax)
 
-    # warmup/compile
-    h = fn(org_j, dir_j)
-    float(h.t[0])
-    times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        h = fn(org_j, dir_j)
-        float(h.t[0])  # true completion barrier (tunnel-safe)
-        times.append(time.perf_counter() - t0)
-    ms = min(times) * 1e3
-    mrays = args.rays / min(times) / 1e6
-    hits = int(jnp.sum(h.prim >= 0))
-    print(f"{args.impl}: {ms:.1f} ms/batch, {mrays:.2f} Mrays/s, "
-          f"hits {hits}/{args.rays}")
+    import os
+
+    from nrc_tpu.ops import intersect as I
+
+    chunks = [
+        int(c) for c in (
+            args.sweep_chunks.split(",") if args.sweep_chunks
+            else [os.environ.get("NRC_TRAVERSAL_CHUNK", "2048")]
+        )
+    ]
+    for chunk in chunks:
+        I.TRAVERSAL_CHUNK = chunk  # read at trace time by chunked_over_rays
+        # fresh lambda identity -> fresh trace under the new chunking
+        cfn = jax.jit(lambda o, dd, _f=fn_raw: _f(o, dd))
+        h = cfn(org_j, dir_j)  # warmup/compile
+        float(h.t[0])
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            h = cfn(org_j, dir_j)
+            float(h.t[0])  # true completion barrier (tunnel-safe)
+            times.append(time.perf_counter() - t0)
+        ms = min(times) * 1e3
+        mrays = args.rays / min(times) / 1e6
+        hits = int(jnp.sum(h.prim >= 0))
+        print(f"{args.impl} chunk={chunk}: {ms:.1f} ms/batch, "
+              f"{mrays:.2f} Mrays/s, hits {hits}/{args.rays}")
+        if args.json:
+            print(json.dumps({
+                "scene": args.scene, "mode": args.mode, "impl": args.impl,
+                "rays": args.rays, "ms_per_batch": round(ms, 2),
+                "mrays_per_s": round(mrays, 3), "tris": int(tris.num),
+                "chunk": chunk,
+            }), flush=True)
 
     if args.check:
         from nrc_tpu.ops.intersect import intersect_bruteforce

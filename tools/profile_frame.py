@@ -59,7 +59,6 @@ def main():
     ap.add_argument("--label", default=None)
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     import jax
     import jax.numpy as jnp
     import numpy as np
