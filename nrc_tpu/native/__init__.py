@@ -75,12 +75,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
-        lib.wide_octant_rows.restype = None
-        lib.wide_octant_rows.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # metas, lo, hi
-            ctypes.c_int32, ctypes.c_int32,                     # W, branch
-            ctypes.c_void_p,                                    # out rows
-        ]
         lib.alias_table_build.restype = ctypes.c_int32
         lib.alias_table_build.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,             # p (f64), n

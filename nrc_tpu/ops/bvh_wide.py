@@ -11,24 +11,36 @@ the traversal hardware is opaque — we replace it, not translate it).
 
 Output arrays (consumed by ``ops/intersect_wide.py``):
 
-- ``wnode`` [8, W, 56] f32: per direction-octant variant, per wide node:
-  COMPONENT-major child boxes — lox*8 | loy*8 | loz*8 | hix*8 | hiy*8 |
-  hiz*8 — followed by 8 bitcast-i32 child metas. Component-major keeps
-  every slab-test op a full-width [N, 8] elementwise with no minor-dim-3
-  axis (a packed per-child (lo3|hi3) layout relayout-shuffles each
-  min/max; same lesson as intersect._mt_hits). A bf16-packed 32-f32 row
-  variant measured STRICTLY slower (the unpack bit math runs on tiny
-  minor dims), as did plain f32 gathers of width 80 — gathers here are a
-  few us per step, the VPU layout of the step math is what matters.
-  meta >= 0 -> inner child (wide node index); meta < 0 -> leaf child
-  (leaf row = ~meta); meta == NONE -> empty slot. Children within a row
-  are sorted near-first for that octant (ascending centroid projection
-  onto the octant direction) — the stackless substitute for ordered
-  descent.
-- ``leaf_pack`` [L, leaf_size*10] f32: component-major triangle columns
-  (p0x*ls | p0y*ls | ... | e2z*ls) + ls bitcast prim ids (-1 padding).
+- ``rows`` [W + L, P] f32: ONE unified table of node rows followed by leaf
+  rows, so the walk issues exactly ONE row gather per step whatever a lane
+  is doing (descend or leaf test) — gathers are per-row latency-bound and
+  the round-2 layout paid two of them (separate ``wnode`` + ``leaf_pack``
+  fetches) per step.
+
+  - node row (indices 0..W-1): COMPONENT-major child boxes — lox*8 |
+    loy*8 | loz*8 | hix*8 | hiy*8 | hiz*8 — followed by 8 bitcast-i32
+    child metas, zero-padded to P. Component-major keeps every slab-test
+    op a full-width [N, 8] elementwise with no minor-dim-3 axis (a packed
+    per-child (lo3|hi3) layout relayout-shuffles each min/max; same
+    lesson as intersect._mt_hits). meta >= 0 -> inner child (wide node
+    index); meta < 0 -> leaf child (row = W + ~meta); meta == NONE ->
+    empty slot. Slot order is build order: the walk sorts children by
+    actual slab entry distance at visit time (a 19-comparator network on
+    [N, 8] columns), which replaced the round-2 8x octant-replicated
+    pre-sorted variants — true per-ray ordering prunes more, and the node
+    table shrinks 8x.
+  - leaf row (indices W..W+L-1): component-major primitive columns
+    (p0x*ls | p0y*ls | ... | e2z*ls) + ls bitcast prim ids (-1 padding),
+    zero-padded to P.
+
+  P = max(56, (row_w + 1) * leaf_size); both row kinds parse their own
+  prefix of the gathered [N, P] row.
+- ``wsplit`` [1, W] i32 (shape-carried static): node-row count W — the
+  leaf-row base offset in ``rows``.
 - ``depth`` [1, D] i32 (shape-carried static): max wide-tree depth, the
   traversal's stack bound.
+- ``leaf_row_w`` [1, row_w] i32 (shape-carried static): per-primitive
+  payload width (9 for both triangles p0|e1|e2 and curve pa|ba|ra,rb,m0).
 """
 
 from __future__ import annotations
@@ -272,15 +284,28 @@ def flatten_wide_rows(
         [comp_major, ids_mat.view(np.float32)], axis=1
     )
 
-    # ---- node rows, one variant per direction octant ---------------------
-    # slot order within a row = ascending child-centroid projection onto the
-    # octant direction (near-first); empty slots sort last via +inf keys and
-    # carry meta NONE — the traversal masks them by meta, NOT by their
-    # inverted AABB: (3e38 - o) * inv_d overflows to ±inf on BOTH slabs for
-    # near-axis directions, turning the inverted box into an always-hit.
+    # ---- node rows: ONE variant, build slot order ------------------------
+    # the walk orders children by actual slab entry distance at visit time
+    # (see module docstring), so no octant pre-sorting and no 8x
+    # replication. Empty slots carry meta NONE — the traversal masks them
+    # by meta, NOT by their inverted AABB: (3e38 - o) * inv_d overflows to
+    # ±inf on BOTH slabs for near-axis directions, turning the inverted
+    # box into an always-hit.
     valid = metas != NONE
+    node_rows = np.concatenate(
+        [
+            np.ascontiguousarray(los.transpose(0, 2, 1)).reshape(W, -1),
+            np.ascontiguousarray(his.transpose(0, 2, 1)).reshape(W, -1),
+            metas.view(np.float32),
+        ],
+        axis=1,
+    )                                                      # [W, 7*branch]
 
-    out = _octant_rows(metas, los, his, branch)
+    # ---- unified table: node rows then leaf rows, padded to P ------------
+    P = max(7 * branch, leaf_pack.shape[1])
+    rows = np.zeros((W + L, P), np.float32)
+    rows[:W, : 7 * branch] = node_rows
+    rows[W:, : leaf_pack.shape[1]] = leaf_pack
 
     root = np.stack(
         [np.min(np.where(valid[0][:, None], los[0], np.inf), axis=0),
@@ -288,62 +313,14 @@ def flatten_wide_rows(
     ).astype(np.float32)
 
     return {
-        "wnode": out,                                    # [8, W, 56] f32
-        "leaf_pack": leaf_pack,                          # [L, ls*(row_w+1)]
+        "rows": rows,                                    # [W + L, P] f32
+        "wsplit": np.zeros((1, W), np.int32),            # static via shape
         "leaf_ids": ids_mat,
         "root": root,                                    # [2, 3] exact AABB
         "depth": np.zeros((1, depth + 1), np.int32),     # static via shape
         # (+1 safety slot over the exact max level count)
         # per-primitive payload width, shape-encoded like depth: consumers
-        # derive leaf_size = leaf_pack.shape[1] // (row_w + 1) instead of
-        # hardcoding the 9-float triangle row layout
+        # derive leaf_size = leaf_ids.shape[1] instead of hardcoding the
+        # 9-float triangle row layout
         "leaf_row_w": np.zeros((1, row_w), np.int32),
     }
-
-
-def _octant_rows(metas, los, his, branch: int) -> np.ndarray:
-    """[8, W, branch*7] component-major octant-sorted node rows. Native C
-    single pass (``nrc_native.c::wide_octant_rows``) with the original
-    numpy formulation as fallback — the per-octant argsort + fancy-gather +
-    transpose chain measured seconds at demo-scene node counts."""
-    W = metas.shape[0]
-    valid = metas != NONE
-
-    from ..native import get_lib
-
-    lib = get_lib()
-    if lib is not None and hasattr(lib, "wide_octant_rows"):
-        metas_c = np.ascontiguousarray(metas, np.int32)
-        los_c = np.ascontiguousarray(los, np.float32)
-        his_c = np.ascontiguousarray(his, np.float32)
-        out = np.empty((8, W, branch * 7), np.float32)
-        lib.wide_octant_rows(
-            metas_c.ctypes.data, los_c.ctypes.data, his_c.ctypes.data,
-            np.int32(W), np.int32(branch), out.ctypes.data,
-        )
-        return out
-
-    cen = (los + his) * 0.5
-    out = np.empty((8, W, branch * 7), np.float32)
-    for o in range(8):
-        sgn = np.asarray(
-            [1.0 if o & 1 else -1.0,
-             1.0 if o & 2 else -1.0,
-             1.0 if o & 4 else -1.0],
-            np.float32,
-        )
-        key = np.where(valid, np.einsum("wbk,k->wb", cen, sgn), np.inf)
-        perm = np.argsort(key, axis=1, kind="stable")     # [W, B]
-        r = np.arange(W)[:, None]
-        pmeta = metas[r, perm]
-        # component-major: lox*B | loy*B | loz*B | hix*B | hiy*B | hiz*B
-        plo = los[r, perm]                              # [W, B, 3]
-        phi = his[r, perm]
-        boxes = np.concatenate(
-            [np.ascontiguousarray(plo.transpose(0, 2, 1)).reshape(W, -1),
-             np.ascontiguousarray(phi.transpose(0, 2, 1)).reshape(W, -1)],
-            axis=1,
-        )
-        out[o, :, : branch * 6] = boxes
-        out[o, :, branch * 6:] = pmeta.view(np.float32)
-    return out

@@ -1,10 +1,18 @@
 """Lockstep 8-wide BVH traversal (TPU replacement for ``optixTrace``).
 
-One gather per descend step fetches a wide-node row — all 8 children's
-AABBs + pointers (``ops/bvh_wide.py``) — so the slab test prunes up to 8
-subtrees per gathered row, vs one box per row in the binary skip-link walk
-(``ops/intersect.py::_skip_traverse``). Per BASELINE.md's cost model the
-gathered-row count is the only real lever on TPU: wide rows cut it ~4x.
+EXACTLY one row gather per lane per step, from the unified node+leaf table
+(``bvh_wide`` ``rows``): a lane's ``pending`` address names either a wide
+node (slab-test all 8 children in one [N, 8] pass) or a leaf row
+(primitive-test leaf_size prims as [N, ls] vector math). The round-2
+layout paid TWO gathers per step (a node fetch inside visit() plus an
+unconditional leaf_pack fetch); gathers are per-row latency-bound, so
+unifying the tables halves the walk's dominant cost.
+
+Children are sorted by actual slab entry distance at visit time
+(``sort8_by_key``, a 19-comparator Batcher network of full-width selects)
+— true per-ray ordered descent, which finds close hits sooner, shrinks
+``best_t``, and culls more subtrees than the round-2 octant-presorted
+static order (and removes the 8x octant replication of the node table).
 
 There are no per-lane scatter stacks (the trap that made the round-0
 vmapped-stack walk ~100x slower): the traversal stack is a dense
@@ -13,15 +21,12 @@ axis D (shape-carried from the build), which is plain VPU math. Per-lane
 state:
 
 - ``children`` [N, 8] i32: remaining child metas of the current node
-  (NONE = visited/missed/empty). meta >= 0 -> inner wide node; meta < 0
-  -> leaf row ~meta.
+  (NONE = visited/missed/empty), entry-distance sorted. meta >= 0 ->
+  inner wide node; meta < 0 -> leaf row W + ~meta in the unified table.
 - ``stack`` [N, D, 8] + ``depth`` [N]: saved sibling sets.
-- ONE flat while loop: a lane that reaches a leaf child parks for exactly
-  one step and is serviced by the leaf block at the top of the next step
-  (leaf_size triangles tested as [N, ls]-shaped vector math). A nested
-  two-phase descend/leaf structure measured ~300 us of loop-re-entry +
-  fusion-boundary overhead per leaf round — 60x the cost of a unified
-  step - and dominated the walk.
+- ONE flat while loop (a nested two-phase descend/leaf structure measured
+  ~300 us of loop-re-entry + fusion-boundary overhead per leaf round — 60x
+  the cost of a unified step — and dominated the walk).
 
 Same coherence-sorted 2048-lane chunking as the binary path
 (``chunked_over_rays``): each chunk's while_loop exits at ITS slowest ray.
@@ -133,33 +138,64 @@ def _leaf_cone_t(c, pid, org, direction, tmin, cap):
     return jnp.where(pid >= 0, t, RT_MAX)
 
 
+# Batcher odd-even merge sorting network for 8 elements (19 comparators):
+# ascending keys with a payload carried through every compare-exchange.
+_SORT8 = (
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+    (2, 4), (3, 5),
+    (1, 2), (3, 4), (5, 6),
+)
+
+
+def sort8_by_key(key, val, fill):
+    """Sort 8 [N]-columns of ``val`` by ascending ``key`` ([N, 8] each)
+    with a 19-comparator network — pure full-width VPU selects, no
+    per-lane gathers. ``fill`` replaces val where key is +inf upstream."""
+    keys = [key[:, i] for i in range(8)]
+    vals = [val[:, i] for i in range(8)]
+    for i, j in _SORT8:
+        ki, kj = keys[i], keys[j]
+        vi, vj = vals[i], vals[j]
+        swap = kj < ki
+        keys[i] = jnp.where(swap, kj, ki)
+        keys[j] = jnp.where(swap, ki, kj)
+        vals[i] = jnp.where(swap, vj, vi)
+        vals[j] = jnp.where(swap, vi, vj)
+    del fill
+    return jnp.stack(vals, axis=1)
+
+
 def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
                    with_stats: bool = False, leaf_test=_leaf_tri_t):
     """One chunk's lockstep walk. org/direction [N,3]; returns (t, prim)
-    (+ (descend_steps, outer_rounds) scalars when ``with_stats``).
+    (+ (steps, steps) scalars when ``with_stats``).
     ``leaf_test`` consumes a leaf row's component-major payload columns
-    (triangles by default; ``_leaf_cone_t`` for curve segments)."""
+    (triangles by default; ``_leaf_cone_t`` for curve segments).
+
+    ONE row gather per step from the unified node+leaf table (bvh_wide
+    ``rows``): each lane's ``pending`` address names the row it needs this
+    step — a wide node to slab-test (descend) or a leaf row to
+    primitive-test — so the walk never pays the round-2 layout's two
+    separate gathers. Children are sorted by actual slab entry distance at
+    visit time (``sort8_by_key``), giving true per-ray ordered descent
+    (shrinks best_t sooner -> more subtree culls) without the 8x
+    octant-replicated node variants."""
     from .bvh_wide import BRANCH as branch
 
     n = org.shape[0]
-    octants, W, row_w = wb["wnode"].shape
-    assert row_w == branch * 7, "component-major f32 rows expected"
-    nodes_flat = wb["wnode"].reshape(octants * W, row_w)
-    D = wb["depth"].shape[1]  # static max depth
+    rows_tab = wb["rows"]                    # [W + L, P]
+    W = wb["wsplit"].shape[1]                # node-row count (static)
+    D = wb["depth"].shape[1]                 # static max depth
     # per-primitive payload width, shape-carried by the build (9 floats for
     # both triangles p0|e1|e2 and curve segments pa|ba|ra,rb,m0)
-    prim_row_w = (
-        wb["leaf_row_w"].shape[1] if "leaf_row_w" in wb else 9
-    )
-    leaf_size = wb["leaf_pack"].shape[1] // (prim_row_w + 1)
-    assert wb["leaf_pack"].shape[1] == (prim_row_w + 1) * leaf_size
+    prim_row_w = wb["leaf_row_w"].shape[1]
+    leaf_size = wb["leaf_ids"].shape[1]
+    P = rows_tab.shape[1]
+    assert P >= 7 * branch and P >= (prim_row_w + 1) * leaf_size
 
-    oct_ = (
-        (direction[:, 0] > 0).astype(jnp.int32)
-        | ((direction[:, 1] > 0).astype(jnp.int32) << 1)
-        | ((direction[:, 2] > 0).astype(jnp.int32) << 2)
-    )
-    base = oct_ * W
     inv_d = jnp.where(
         jnp.abs(direction) > 1e-20,
         1.0 / jnp.where(direction != 0.0, direction, 1.0),
@@ -169,21 +205,11 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (n, D), 1)
     iota_ls = jax.lax.broadcasted_iota(jnp.int32, (n, leaf_size), 1)
 
-    def visit(node, best_t):
-        """Gather a wide row and box-test all children -> children set.
-
-        Rows are plain f32, component-major [8, W, 56] (bvh_wide layout:
-        lox*8|loy*8|loz*8|hix*8|hiy*8|hiz*8|meta*8) — the measured winner;
-        a bf16-packed 32-f32 variant was strictly slower (BASELINE.md dead
-        ends) because the unpack bit math ran on tiny minor dims while the
-        gather cost is ~independent of row width."""
-        row = nodes_flat[base + node]                        # [N, 56]
-        # component-major box columns (bvh_wide layout): every op below is
-        # a full-width [N, 8] elementwise — no minor-dim-3 axis, whose
-        # packed layout wasted ~97% of the VPU and relayout-shuffled every
-        # cross/min (the _mt_hits lesson applied to the walk)
+    def slab_children(row, best_t):
+        """Box-test all 8 children of a gathered node row -> entry-distance
+        sorted children set (missed/empty slots NONE, sorted last)."""
         B = branch
-        meta = row[:, 6 * B:].view(jnp.int32)                # [N, 8]
+        meta = row[:, 6 * B: 7 * B].view(jnp.int32)          # [N, 8]
         near = jnp.full((n, B), -jnp.inf)
         far = jnp.full((n, B), jnp.inf)
         for ax in range(3):
@@ -201,30 +227,34 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
         )
         # empty slots masked by meta, not box: their inverted AABB can
         # overflow to (-inf, +inf) slabs and read as a hit (see bvh_wide)
-        return jnp.where(hit & (meta != NONE), meta, NONE)
+        ok = hit & (meta != NONE)
+        key = jnp.where(ok, near, jnp.inf)
+        return sort8_by_key(key, jnp.where(ok, meta, NONE), NONE)
 
     def step_cond(s):
-        done = s[4]
+        done = s[5]
         return ~jnp.all(done)
 
     def step(s):
-        children, stack, depth, lrow, done, best_t, best_prim, nd, no = s
+        children, stack, depth, pending, pend_leaf, done, best_t, \
+            best_prim, nd = s
         nd = nd + 1
+        live = ~done
 
-        # ---- leaf service: lanes parked at a leaf row intersect its
-        # leaf_size triangles this step (vectorized over the leaf axis) and
-        # resume their sibling set next step. One flat loop — no nested
-        # while: the two-phase outer/descend structure cost ~300 us of
-        # loop-re-entry + fusion-boundary overhead per leaf ROUND vs ~5 us
-        # per unified step (measured on the 486k-tri batch).
-        do_leaf = ~done & (lrow >= 0)
-        tri = wb["leaf_pack"][jnp.maximum(lrow, 0)]          # [N, ls*10]
+        # ---- THE gather: one unified row per lane per step --------------
+        row = rows_tab[jnp.maximum(pending, 0)]              # [N, P]
+
+        # ---- leaf service: lanes whose pending row is a leaf test its
+        # leaf_size primitives (vectorized over the leaf axis)
+        do_leaf = live & pend_leaf
         if not _SKIP_LEAF:
             ls = leaf_size
             # component-major columns (bvh_wide layout): all leaf math is
             # [N, ls] elementwise with full VPU rows
-            c = [tri[:, k * ls: (k + 1) * ls] for k in range(prim_row_w)]
-            pid = tri[:, prim_row_w * ls:].view(jnp.int32)   # [N, ls]
+            c = [row[:, k * ls: (k + 1) * ls] for k in range(prim_row_w)]
+            pid = row[
+                :, prim_row_w * ls: (prim_row_w + 1) * ls
+            ].view(jnp.int32)                                # [N, ls]
             cap = jnp.minimum(tmax, best_t)
             t_ok = leaf_test(c, pid, org, direction, tmin, cap)
             t_ok = jnp.where(do_leaf[:, None], t_ok, RT_MAX)
@@ -240,67 +270,72 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
             best_prim = jnp.where(hit_any, pid_best, best_prim)
         if any_hit:
             done = done | (best_prim >= 0)
-        lrow = jnp.full((n,), -1, jnp.int32)
+            live = ~done
 
-        # ---- descend service: unparked lanes pop/pick/visit -------------
-        active = ~done & ~do_leaf
+        # ---- node service: slab-test the gathered row -> sorted set -----
+        do_node = live & ~pend_leaf & (pending >= 0)
+        new_children = slab_children(row, best_t)
+        children = jnp.where(do_node[:, None], new_children, children)
 
-        # lanes with an exhausted sibling set pop (same step)
+        # ---- pop: lanes with an exhausted set restore saved siblings ----
         empty = ~jnp.any(children != NONE, axis=1)
-        out_of_work = active & empty & (depth == 0)
+        out_of_work = live & empty & (depth == 0)
         done = done | out_of_work
-        do_pop = active & empty & (depth > 0)
+        live = live & ~out_of_work
+        do_pop = live & empty & (depth > 0)
         oh_pop = iota_d == (depth - 1)[:, None]              # [N, D]
         popped = jnp.sum(
             jnp.where(oh_pop[:, :, None], stack, 0), axis=1, dtype=jnp.int32
         )
         children = jnp.where(do_pop[:, None], popped, children)
         depth = jnp.where(do_pop, depth - 1, depth)
-        active = active & ~out_of_work
 
-        # near-first pick: slots are octant-sorted, so the FIRST remaining
-        # slot is the nearest untested child
+        # ---- pick: nearest remaining child -> next step's pending row ---
+        # (children are distance-sorted, so the FIRST non-NONE slot is the
+        # nearest untested child)
         has = children != NONE
         pick = jnp.argmax(has, axis=1)                       # first True
         oh = iota_b == pick[:, None]
         entry = jnp.sum(jnp.where(oh, children, 0), axis=1, dtype=jnp.int32)
-        take = active & jnp.any(has, axis=1)
+        take = live & jnp.any(has, axis=1)
         children = jnp.where((take[:, None] & oh), NONE, children)
 
         is_leaf = take & (entry < 0) & (entry != NONE)
         is_inner = take & (entry >= 0)
 
-        # leaf child: park; serviced at the TOP of the next step
-        lrow = jnp.where(is_leaf, ~entry, lrow)
-
-        # inner child: push the remaining siblings (if any), then visit
+        # inner descend: push the remaining siblings (if any); the set is
+        # replaced by the slab result when the row lands next step
         remain = jnp.any(children != NONE, axis=1)
         do_push = is_inner & remain
         oh_push = (iota_d == depth[:, None]) & do_push[:, None]
         stack = jnp.where(oh_push[:, :, None], children[:, None, :], stack)
         depth = depth + do_push.astype(jnp.int32)
-        new_children = visit(jnp.where(is_inner, entry, 0), best_t)
-        children = jnp.where(is_inner[:, None], new_children, children)
 
-        return children, stack, depth, lrow, done, best_t, best_prim, nd, no
+        pending = jnp.where(
+            is_inner, entry,
+            jnp.where(is_leaf, W + (~entry), -1),
+        )
+        pend_leaf = is_leaf
+
+        return (children, stack, depth, pending, pend_leaf, done,
+                best_t, best_prim, nd)
 
     dead = tmax <= tmin
-    children0 = jnp.where(dead[:, None], NONE, visit(jnp.zeros((n,), jnp.int32), tmax))
     state = (
-        children0,
-        jnp.full((n, D, branch), NONE),
-        jnp.zeros((n,), jnp.int32),
-        jnp.full((n,), -1, jnp.int32),
-        dead,
-        jnp.full((n,), RT_MAX),
-        jnp.full((n,), -1, jnp.int32),
-        jnp.int32(0),  # descend-step counter (scalar: free in the carry)
-        jnp.int32(0),  # outer leaf-round counter
+        jnp.full((n, branch), NONE),                    # children
+        jnp.full((n, D, branch), NONE),                 # stack
+        jnp.zeros((n,), jnp.int32),                     # depth
+        jnp.where(dead, -1, 0).astype(jnp.int32),       # pending: root row
+        jnp.zeros((n,), bool),                          # pend_leaf
+        dead,                                           # done
+        jnp.full((n,), RT_MAX),                         # best_t
+        jnp.full((n,), -1, jnp.int32),                  # best_prim
+        jnp.int32(0),                                   # step counter
     )
     out = jax.lax.while_loop(step_cond, step, state)
-    t, prim, nd, no = out[5], out[6], out[7], out[8]
+    t, prim, nd = out[6], out[7], out[8]
     if with_stats:
-        return t, prim, nd, no
+        return t, prim, nd, nd
     return t, prim
 
 

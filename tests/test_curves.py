@@ -124,7 +124,7 @@ class TestBVHParity:
         seg = make_segments(pa, pb, ra, rb)
         soa = CurveSoA.build(seg)
         wb = {kk: jnp.asarray(vv) for kk, vv in build_wide_curve_bvh(seg).items()}
-        assert "wnode" in wb
+        assert "rows" in wb
 
         n = 256
         org = rng.uniform(-2, 2, (n, 3)).astype(np.float32)

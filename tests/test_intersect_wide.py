@@ -56,26 +56,21 @@ class TestBuild:
     def test_invariants(self):
         p0, p1, p2 = _soup(2000)
         wb = build_wide_bvh(p0, p1, p2)
-        octants, W, row_w = wb["wnode"].shape
-        assert octants == 8 and row_w in (BRANCH * 4, BRANCH * 7)
-        n_box = BRANCH * (3 if row_w == BRANCH * 4 else 6)
-        metas = wb["wnode"][:, :, n_box: n_box + BRANCH].view(np.int32)
+        W = wb["wsplit"].shape[1]
+        rows, P = wb["rows"].shape
+        L = rows - W
+        assert P >= BRANCH * 7
+        metas = wb["rows"][:W, BRANCH * 6: BRANCH * 7].view(np.int32)
         inner = (metas >= 0) & (metas != NONE)
-        # inner children point inside the node table
+        # inner children point inside the node-row prefix
         assert metas[inner].max(initial=0) < W
-        # every leaf row referenced at most once per variant
+        # every leaf row referenced exists
         leafs = np.where((metas < 0) & (metas != NONE), ~metas, -1)
-        L = wb["leaf_pack"].shape[0]
         assert leafs.max() < L
         # all prims present exactly once across leaves
         ids = wb["leaf_ids"]
         got = np.sort(ids[ids >= 0])
         np.testing.assert_array_equal(got, np.arange(2000))
-        # every variant holds the same child SET per node (different order)
-        for o in range(1, 8):
-            a = np.sort(metas[0], axis=1)
-            b = np.sort(metas[o], axis=1)
-            np.testing.assert_array_equal(a, b)
 
     def test_tiny_scene_single_leaf(self):
         p0, p1, p2 = _soup(3)
@@ -153,3 +148,29 @@ class TestTraversal:
         a = intersect_wbvh(org, d, wb, tris, tmin, tmax)
         b = intersect_bruteforce(org, d, tris, tmin, tmax)
         _assert_same_hits(a.prim, a.t, b.prim, b.t)
+
+
+class TestSort8:
+    def test_matches_argsort(self):
+        from nrc_tpu.ops.intersect_wide import sort8_by_key
+
+        rng = np.random.default_rng(3)
+        key = rng.random((257, 8)).astype(np.float32)
+        key[rng.random((257, 8)) < 0.3] = np.inf  # missed/empty slots
+        val = rng.integers(-100, 100, (257, 8)).astype(np.int32)
+        got = np.asarray(sort8_by_key(jnp.asarray(key), jnp.asarray(val), 0))
+        order = np.argsort(key, axis=1, kind="stable")
+        want = np.take_along_axis(val, order, axis=1)
+        skey = np.take_along_axis(key, order, axis=1)
+        # values must agree wherever keys are unique; on ties any order is
+        # fine — compare sorted values within each tie group
+        for r in range(257):
+            i = 0
+            while i < 8:
+                j = i
+                while j < 8 and skey[r, j] == skey[r, i]:
+                    j += 1
+                np.testing.assert_array_equal(
+                    np.sort(got[r, i:j]), np.sort(want[r, i:j])
+                )
+                i = j

@@ -9,6 +9,12 @@ VERDICT r2: standalone train measured 19 Msamples/s at B=16384 (0.86 ms/step
   shape the frame program actually runs, no per-step dispatch), vs
 - component costs (encode only, forward only, fused Pallas forward).
 
+Measurement rules for the relayed TPU backend (hard-won, see
+.claude/skills/verify): ``jax.block_until_ready`` does NOT reliably block —
+every timing ends with a true scalar readback — and identical repeated
+dispatches are deduped, so every measured call chains its input on the
+previous call's output.
+
 Prints one JSON line per measurement.
 """
 
@@ -21,16 +27,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(fn, *args, reps=50, warmup=2):
+def _sync(x):
+    """True completion barrier: scalar readback (tunnel-safe)."""
     import jax
+    import jax.numpy as jnp
 
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
+def measure(step, state, reps=20, warmup=3):
+    """Time ``state = step(state)`` chains. ``step`` must make each call's
+    input depend on the previous output (defeats dispatch dedup)."""
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        state = step(state)
+    _sync(state)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        state = step(state)
+    _sync(state)
     return (time.perf_counter() - t0) / reps
 
 
@@ -61,10 +76,12 @@ def main():
     flops_fwd = 2 * B * (128 * 64 + (cfg.n_hidden_layers - 1) * 64 * 64 + 64 * 16)
     flops_train = 3 * flops_fwd  # fwd + dgrad + wgrad
     out["gflop_fwd"] = round(flops_fwd / 1e9, 3)
+    PEAK = 197e12  # v5e bf16 peak FLOP/s
 
-    # 1. per-call train step (round-2 measurement shape)
-    step = jax.jit(lambda ns, q, t: N.train_step(ns, q, t, cfg))
-    dt = measure(lambda: step(ns, q, t))
+    # 1. per-call train step (round-2 measurement shape). The network state
+    # chains call-to-call (real online-training dataflow).
+    step = jax.jit(lambda ns, q, t: N.train_step(ns, q, t, cfg)[0])
+    dt = measure(lambda s: step(s, q, t), ns)
     out["train_per_call_ms"] = round(dt * 1e3, 3)
     out["train_per_call_msamples"] = round(B / dt / 1e6, 1)
 
@@ -72,39 +89,43 @@ def main():
     K = args.scan_steps
 
     @jax.jit
-    def train_k(ns, q, t):
+    def train_k(ns):
         def body(ns, _):
             ns2, loss = N.train_step(ns, q, t, cfg)
             return ns2, loss
-        return jax.lax.scan(body, ns, None, length=K)
+        ns, losses = jax.lax.scan(body, ns, None, length=K)
+        return ns
 
-    dt = measure(lambda: train_k(ns, q, t), reps=10)
-    out["train_scanned_ms_per_step"] = round(dt / K * 1e3, 3)
+    dt = measure(train_k, ns, reps=10)
+    out["train_scanned_ms_per_step"] = round(dt / K * 1e3, 4)
     out["train_scanned_msamples"] = round(B * K / dt / 1e6, 1)
-    out["train_mfu_pct"] = round(
-        100.0 * flops_train * K / dt / 197e12, 2
-    )  # v5e bf16 peak ~197 TFLOP/s
+    out["train_mfu_pct"] = round(100.0 * flops_train * K / dt / PEAK, 2)
 
-    # 3. infer per-call and scanned
-    inf = jax.jit(lambda ns, q: N.infer(ns, q, cfg))
-    dt = measure(lambda: inf(ns, q))
+    # 3. infer per-call and scanned; the query chains on the previous output
+    inf = jax.jit(
+        lambda ns, q: (N.infer(ns, q, cfg), q)
+    )
+
+    def inf_step(state):
+        r, q = state
+        return inf(ns, q + jnp.max(r) * 1e-30)
+
+    dt = measure(inf_step, (jnp.zeros((B, 3)), q))
     out["infer_per_call_ms"] = round(dt * 1e3, 3)
     out["infer_per_call_msamples"] = round(B / dt / 1e6, 1)
 
     @jax.jit
-    def infer_k(ns, q):
-        def body(acc, _):
-            return acc + N.infer(ns, q + acc[0, :15] * 0, cfg).sum() * 0, None
-        # chain K independent infers with a fake dependency to defeat CSE
-        def body2(carry, _):
+    def infer_k(q):
+        def body(carry, _):
             r = N.infer(ns, q + carry, cfg)
             return jnp.max(r) * 1e-30, None
-        return jax.lax.scan(body2, jnp.float32(0.0), None, length=K)
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return q + carry  # depends on every step
 
-    dt = measure(lambda: infer_k(ns, q), reps=10)
-    out["infer_scanned_ms_per_step"] = round(dt / K * 1e3, 3)
+    dt = measure(infer_k, q, reps=10)
+    out["infer_scanned_ms_per_step"] = round(dt / K * 1e3, 4)
     out["infer_scanned_msamples"] = round(B * K / dt / 1e6, 1)
-    out["infer_mfu_pct"] = round(100.0 * flops_fwd * K / dt / 197e12, 2)
+    out["infer_mfu_pct"] = round(100.0 * flops_fwd * K / dt / PEAK, 2)
 
     # 4. encode only (scanned)
     @jax.jit
@@ -112,10 +133,11 @@ def main():
         def body(carry, _):
             e = N.encode(q + carry, cfg, ns.grid)
             return jnp.max(e) * 1e-30, None
-        return jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return q + carry
 
-    dt = measure(lambda: enc_k(q), reps=10)
-    out["encode_scanned_ms_per_step"] = round(dt / K * 1e3, 3)
+    dt = measure(enc_k, q, reps=10)
+    out["encode_scanned_ms_per_step"] = round(dt / K * 1e3, 4)
 
     # 5. forward only on pre-encoded input (scanned)
     x = N.encode(q, cfg, ns.grid)
@@ -125,10 +147,12 @@ def main():
         def body(carry, _):
             r = N.mlp_forward(ns.ema, x + carry)
             return jnp.max(r) * 1e-30, None
-        return jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return x + carry
 
-    dt = measure(lambda: fwd_k(x), reps=10)
-    out["mlpfwd_scanned_ms_per_step"] = round(dt / K * 1e3, 3)
+    dt = measure(fwd_k, x, reps=10)
+    out["mlpfwd_scanned_ms_per_step"] = round(dt / K * 1e3, 4)
+    out["mlpfwd_mfu_pct"] = round(100.0 * flops_fwd * K / dt / PEAK, 2)
 
     # 6. fused Pallas forward (scanned), TPU only
     if dev.platform == "tpu":
@@ -141,10 +165,12 @@ def main():
                     ns.ema.w_in, ns.ema.w_hidden, ns.ema.w_out, x + carry
                 )
                 return jnp.max(r) * 1e-30, None
-            return jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+            return x + carry
 
-        dt = measure(lambda: pfwd_k(x), reps=10)
-        out["pallas_fwd_scanned_ms_per_step"] = round(dt / K * 1e3, 3)
+        dt = measure(pfwd_k, x, reps=10)
+        out["pallas_fwd_scanned_ms_per_step"] = round(dt / K * 1e3, 4)
+        out["pallas_fwd_mfu_pct"] = round(100.0 * flops_fwd * K / dt / PEAK, 2)
 
     print(json.dumps(out), flush=True)
 

@@ -106,13 +106,13 @@ def main():
         t0 = time.perf_counter()
         if (
             args.leaf_size == 8
-            and dev.bvh is not None and "wnode" in dev.bvh
+            and dev.bvh is not None and "rows" in dev.bvh
         ):
             wb = dev.bvh  # upload_scene already built the production wide BVH
-            print(f"wide BVH from upload_scene, nodes {wb['wnode'].shape}",
+            print(f"wide BVH from upload_scene, rows {wb['rows'].shape}",
                   file=sys.stderr)
         else:
-            cache = f"/tmp/wbvh_{args.scene}_{args.leaf_size}_cm.npz"
+            cache = f"/tmp/wbvh_{args.scene}_{args.leaf_size}_uni.npz"
             if os.path.exists(cache):
                 wb_np = dict(np.load(cache))
             else:
@@ -123,7 +123,7 @@ def main():
                 )
                 np.savez(cache, **wb_np)
             print(f"wide build: {time.perf_counter() - t0:.2f}s, "
-                  f"nodes {wb_np['wnode'].shape}", file=sys.stderr)
+                  f"rows {wb_np['rows'].shape}", file=sys.stderr)
             wb = jax.tree.map(jnp.asarray, wb_np)
         fn_raw = lambda o, dd: intersect_wbvh(o, dd, wb, tris, tmin, tmax)
 
