@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--train", type=int, default=1)
     ap.add_argument("--hist", action="store_true",
                     help="also dump the bounce-count histogram")
+    ap.add_argument("--xprof", action="store_true",
+                    help="capture a jax.profiler trace of ONE warm frame "
+                         "and report device-time by HLO category")
     ap.add_argument("--label", default=None)
     args = ap.parse_args()
 
@@ -103,6 +106,41 @@ def main():
     dt = time.perf_counter() - t0
     traced = sum(int(s.traced_rays) for s in stats)
 
+    xprof_table = None
+    if args.xprof:
+        # one traced warm frame; aggregate the perfetto dump's TPU slices
+        # by HLO category (no TensorBoard needed — parse the json directly)
+        import glob
+        import gzip
+        import json as _json
+        import shutil
+
+        tdir = "/tmp/nrc_xprof"
+        shutil.rmtree(tdir, ignore_errors=True)
+        with jax.profiler.trace(tdir):
+            r.render_frame()
+            float(jnp.ravel(r.image)[0])
+        agg = {}
+        for path in glob.glob(
+            f"{tdir}/**/*.trace.json.gz", recursive=True
+        ):
+            with gzip.open(path, "rt") as f:
+                tr = _json.load(f)
+            # TPU device pids: process names like "/device:TPU:0" or
+            # containing "TPU"; fall back to pids with hlo_category args
+            for ev in tr.get("traceEvents", []):
+                if ev.get("ph") != "X":
+                    continue
+                a = ev.get("args") or {}
+                cat = a.get("hlo_category")
+                if cat is None:
+                    continue
+                agg[cat] = agg.get(cat, 0.0) + ev.get("dur", 0.0)
+        xprof_table = {
+            k: round(v / 1e3, 1)  # us -> ms
+            for k, v in sorted(agg.items(), key=lambda kv: -kv[1])
+        }
+
     payload = {
         "label": args.label or args.case,
         "case": args.case,
@@ -147,6 +185,8 @@ def main():
             round(a / max(bc.size, 1), 4) for a in alive
         ]
 
+    if xprof_table is not None:
+        payload["hlo_ms"] = xprof_table
     print(json.dumps(payload), flush=True)
 
 
