@@ -124,11 +124,11 @@ class TestNetwork:
         q = make_queries(jax.random.PRNGKey(1), 512)
         target = jnp.ones((512, 3))
         st2, _ = N.train_step(st, q, target, cfg)
-        # params moved, ema moved 100x less (decay 0.99)
+        # params moved, ema moved (1-decay)x less
         dp = float(jnp.mean(jnp.abs(st2.params.w_in - st.params.w_in)))
         de = float(jnp.mean(jnp.abs(st2.ema.w_in - st.ema.w_in)))
         assert dp > 0
-        assert de == pytest.approx(dp * 0.01, rel=1e-3)
+        assert de == pytest.approx(dp * (1.0 - cfg.ema_decay), rel=1e-3)
 
     def test_relative_l2_luminance(self):
         pred = jnp.asarray([[1.0, 1.0, 1.0]])

@@ -61,7 +61,9 @@ def _render_full(encoding, frames):
     "encoding,frames,min_psnr,min_ssim",
     [
         (InputEncoding.HASH, 128, 23.0, 0.91),
-        (InputEncoding.FREQUENCY, 128, 20.5, 0.87),
+        # round-3 frequency defaults (lr 3e-3 + EMA 0.95) measure 27.06 dB
+        # / 0.921 at this config — threshold holds the usual ~2 dB margin
+        (InputEncoding.FREQUENCY, 128, 25.0, 0.90),
     ],
     ids=["hash", "frequency"],
 )

@@ -51,28 +51,39 @@ def run_variant(name, res):
 
     enc = InputEncoding.HASH if name == "hash" else InputEncoding.FREQUENCY
     kw = {}
+    relfact = False
     if name == "base":
         kw["freq_domain_scale"] = 1.0
-    elif name in ("domain32", "warmup", "lr3e3", "ema95"):
+    elif name in ("domain32", "warmup", "lr3e3", "ema95", "ema95lr3", "relfact_ema95lr3"):
         kw["freq_domain_scale"] = 32.0
     elif name == "domain8":
         kw["freq_domain_scale"] = 8.0
-    if name == "ema95":
+    if name == "s1_ema95lr3":
+        kw["freq_domain_scale"] = 1.0
+    if name in ("ema95", "ema95lr3", "relfact_ema95lr3", "s1_ema95lr3"):
         kw["ema_decay"] = 0.95
+    if name == "ema90":
+        kw["ema_decay"] = 0.90
+    if name.startswith("relfact"):
+        relfact = True
     net_cfg = NetworkConfig(encoding=enc, **kw)
 
     r = Renderer(
         scene, system, net_cfg=net_cfg,
         render_mode=RenderMode.FULL, train=True, adaptive_tiles=False,
+        reflectance_factoring=relfact,
     )
-    base_lr = 3e-3 if name == "lr3e3" else net_cfg.learning_rate
+    base_lr = (
+        3e-3 if name in ("lr3e3", "ema95lr3", "relfact_ema95lr3", "s1_ema95lr3")
+        else net_cfg.learning_rate
+    )
     t0 = time.perf_counter()
     for i in range(spp):
         if name == "warmup":
             r.hyper = dataclasses.replace(
                 r.hyper, learning_rate=base_lr * min((i + 1) / 32.0, 1.0)
             )
-        elif name == "lr3e3":
+        elif name in ("lr3e3", "ema95lr3", "relfact_ema95lr3", "s1_ema95lr3"):
             r.hyper = dataclasses.replace(r.hyper, learning_rate=base_lr)
         r.render_frame()
     tm = system.tonemapper
@@ -89,6 +100,7 @@ def run_variant(name, res):
     gt_t = np.asarray(tonemap_to_u8(jnp.asarray(gt), tm), np.float32) / 255.0
     print(json.dumps({
         "variant": name, "encoding": enc.name.lower(), "res": res,
+        "reflectance_factoring": relfact,
         "spp": spp, "psnr_db": round(float(psnr(img, gt_t)), 2),
         "ssim": round(float(ssim(img, gt_t)), 4),
         "seconds": round(dt, 1),
