@@ -46,7 +46,8 @@ if not _os.environ.get("NRC_NO_COMPILE_CACHE"):
         # only persist genuinely expensive programs (the demo frame
         # program compiles for minutes; trivia would churn the dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        del _jax
     except Exception:  # pragma: no cover - cache is an optimization only
         pass
-    del _jax, _cache_dir
+    del _cache_dir
 del _os

@@ -147,10 +147,14 @@ class NetworkConfig:
     hash_base_resolution: int = 16
     hash_per_level_scale: float = 2.0
     # P6 (SURVEY §2.5): shard the hash tables over this mesh axis. None =
-    # replicated (single chip / small tables). When set, lookups exchange
-    # (index, weight) via all_gather and partial features via psum_scatter;
-    # autodiff routes the gradient scatter-add back through the adjoint
-    # collectives. Enables tables far beyond one chip's HBM.
+    # replicated (single chip / small tables). When set, each chip owns
+    # L/D whole resolution LEVELS of the [L, S, F] table; a lookup
+    # all_gathers the query positions, each chip gathers features of its
+    # own levels for all D*B queries (dense unmasked gathers, O(B*8*L)
+    # global work), and one all_to_all transposes completed features back
+    # (owner-routed: no partial sums). Autodiff derives the distributed
+    # gradient exchange from the adjoint collectives. Enables tables far
+    # beyond one chip's HBM (``ops/encodings.py::sharded_hash_grid_lookup``).
     hash_shard_axis: str = None
 
     @property

@@ -150,10 +150,11 @@ _SORT8 = (
 )
 
 
-def sort8_by_key(key, val, fill):
+def sort8_by_key(key, val):
     """Sort 8 [N]-columns of ``val`` by ascending ``key`` ([N, 8] each)
     with a 19-comparator network — pure full-width VPU selects, no
-    per-lane gathers. ``fill`` replaces val where key is +inf upstream."""
+    per-lane gathers. Masked entries must arrive with key=+inf and val
+    already set to the caller's sentinel (they sort to the back)."""
     keys = [key[:, i] for i in range(8)]
     vals = [val[:, i] for i in range(8)]
     for i, j in _SORT8:
@@ -164,14 +165,13 @@ def sort8_by_key(key, val, fill):
         keys[j] = jnp.where(swap, ki, kj)
         vals[i] = jnp.where(swap, vj, vi)
         vals[j] = jnp.where(swap, vi, vj)
-    del fill
     return jnp.stack(vals, axis=1)
 
 
 def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
                    with_stats: bool = False, leaf_test=_leaf_tri_t):
     """One chunk's lockstep walk. org/direction [N,3]; returns (t, prim)
-    (+ (steps, steps) scalars when ``with_stats``).
+    (+ a step-count scalar when ``with_stats``).
     ``leaf_test`` consumes a leaf row's component-major payload columns
     (triangles by default; ``_leaf_cone_t`` for curve segments).
 
@@ -229,7 +229,7 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
         # overflow to (-inf, +inf) slabs and read as a hit (see bvh_wide)
         ok = hit & (meta != NONE)
         key = jnp.where(ok, near, jnp.inf)
-        return sort8_by_key(key, jnp.where(ok, meta, NONE), NONE)
+        return sort8_by_key(key, jnp.where(ok, meta, NONE))
 
     def step_cond(s):
         done = s[5]
@@ -335,7 +335,7 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
     out = jax.lax.while_loop(step_cond, step, state)
     t, prim, nd = out[6], out[7], out[8]
     if with_stats:
-        return t, prim, nd, nd
+        return t, prim, nd
     return t, prim
 
 

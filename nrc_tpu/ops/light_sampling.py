@@ -91,11 +91,13 @@ class DeviceLights:
     mesh_alias: jnp.ndarray
     # environment (dummy 1x1 when absent)
     env_texture: jnp.ndarray    # [H, W, 3]
-    env_prob: jnp.ndarray       # [H*W]
-    env_alias: jnp.ndarray      # [H*W] i32
+    env_prob: jnp.ndarray       # [H*W] (cube: [6*Hc*Wc])
+    env_alias: jnp.ndarray      # [H*W] i32 (cube: [6*Hc*Wc])
     env_pdf: jnp.ndarray        # [H, W] solid-angle pdf per texel
+    #                             (cube: [6, Hc, Wc] over the actual faces)
     # cube environment faces (dummy [1,1,1,3] when absent; env_texture is
-    # then the equirect importance-sampling proxy)
+    # then only an equirect display proxy — importance tables and MIS pdfs
+    # come from the faces themselves)
     env_cube: jnp.ndarray = None     # [6 or 1, Hc, Wc, 3]
     # IES goniometric candela textures (dummy [1,1,1] when absent)
     ies_texture: jnp.ndarray = None  # [NI, H, W]
@@ -137,7 +139,22 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
             mesh_prob[i, :c] = prob
             mesh_alias[i, :c] = alias
 
-    if lt.env_texture is not None:
+    if getattr(lt, "env_cube", None) is not None:
+        # cube env: importance tables over the ACTUAL 6xHcxWc face texels
+        # (intensity x exact texel solid angle — ``build_cube_env_weights``;
+        # previously a resampled equirect proxy stood in, PARITY "Known
+        # gaps"). env_pdf is [6, Hc, Wc]; env_texture stays the equirect
+        # proxy for display only.
+        from ..scene.lights import build_cube_env_weights
+
+        env_idx = np.argmax(lt.type == TYPE_LIGHT_ENV_SPHERE)
+        weights, _ = build_cube_env_weights(lt.env_cube)
+        env_prob, env_alias = build_alias_table(weights)
+        env_pdf = (
+            lt.env_cube.mean(axis=-1) * float(lt.inv_integral[env_idx])
+        ).astype(np.float32)
+        env_texture = lt.env_texture
+    elif lt.env_texture is not None:
         h, w, _ = lt.env_texture.shape
         intensity = lt.env_texture.mean(axis=-1)
         theta = (np.arange(h) + 0.5) / h * np.pi
@@ -410,29 +427,52 @@ def sample_lights(
 
     # --- env sphere (textured, alias-sampled) -----------------------------
     if TYPE_LIGHT_ENV_SPHERE in present:
-        h, w, _ = lights.env_texture.shape
-        nt = h * w
-        k = jnp.minimum((xi[:, 1] * nt).astype(jnp.int32), nt - 1)
-        frac = xi[:, 1] * nt - k.astype(jnp.float32)
-        texel = jnp.where(frac < lights.env_prob[k], k, lights.env_alias[k])
-        ty = texel // w
-        tx = texel % w
-        # jitter inside the texel
-        u = (tx.astype(jnp.float32) + xi[:, 2]) / w
-        v = (ty.astype(jnp.float32) + xi[:, 3]) / h
-        phi = u * 2.0 * M_PI
-        theta = v * M_PI
-        st = jnp.sin(theta)
-        # object-space: u=0 seam on -z, v=0 south pole (light_sample.cu:95-106)
-        d_obj = jnp.stack([jnp.sin(phi) * st, -jnp.cos(theta), -jnp.cos(phi) * st], -1)
-        dirn = jnp.einsum("nij,nj->ni", lights.ori[idx], d_obj)
         if lights.env_is_cube:
-            from .texture import sample_cube_env
+            # alias table over the ACTUAL cube texels (6*Hc*Wc, weight =
+            # intensity x exact texel solid angle); the sampled texel maps
+            # back to a direction through the face-uv inverse
+            from .texture import cube_dir_from_face_uv, sample_cube_env
 
+            _, ch, cw, _ = lights.env_cube.shape
+            nt = 6 * ch * cw
+            k = jnp.minimum((xi[:, 1] * nt).astype(jnp.int32), nt - 1)
+            frac = xi[:, 1] * nt - k.astype(jnp.float32)
+            texel = jnp.where(
+                frac < lights.env_prob[k], k, lights.env_alias[k]
+            )
+            face = texel // (ch * cw)
+            rem = texel - face * (ch * cw)
+            ty = rem // cw
+            tx = rem - ty * cw
+            u = (tx.astype(jnp.float32) + xi[:, 2]) / cw
+            v = (ty.astype(jnp.float32) + xi[:, 3]) / ch
+            d_obj = cube_dir_from_face_uv(face, u, v)
             emis = sample_cube_env(lights.env_cube, d_obj)
+            pdf_e = lights.env_pdf[face, ty, tx]
         else:
+            h, w, _ = lights.env_texture.shape
+            nt = h * w
+            k = jnp.minimum((xi[:, 1] * nt).astype(jnp.int32), nt - 1)
+            frac = xi[:, 1] * nt - k.astype(jnp.float32)
+            texel = jnp.where(
+                frac < lights.env_prob[k], k, lights.env_alias[k]
+            )
+            ty = texel // w
+            tx = texel % w
+            # jitter inside the texel
+            u = (tx.astype(jnp.float32) + xi[:, 2]) / w
+            v = (ty.astype(jnp.float32) + xi[:, 3]) / h
+            phi = u * 2.0 * M_PI
+            theta = v * M_PI
+            st = jnp.sin(theta)
+            # object-space: u=0 seam on -z, v=0 south pole
+            # (light_sample.cu:95-106)
+            d_obj = jnp.stack(
+                [jnp.sin(phi) * st, -jnp.cos(theta), -jnp.cos(phi) * st], -1
+            )
             emis = lights.env_texture[ty, tx]
-        pdf_e = lights.env_pdf[ty, tx]
+            pdf_e = lights.env_pdf[ty, tx]
+        dirn = jnp.einsum("nij,nj->ni", lights.ori[idx], d_obj)
         valid = pdf_e > DENOM_EPS
         rop = safe_div(emission * emis, pdf_e[..., None])
         is_env = ltype == TYPE_LIGHT_ENV_SPHERE
@@ -468,25 +508,29 @@ def env_radiance(lights: DeviceLights, direction: jnp.ndarray):
         pdf = jnp.full((n,), 0.25 / M_PI)
         return emission, pdf, True
     if t0 == TYPE_LIGHT_ENV_SPHERE:
-        h, w, _ = lights.env_texture.shape
         r = jnp.einsum("ij,nj->ni", lights.ori_inv[0], direction)
-        u = (jnp.arctan2(-r[..., 0], r[..., 2]) + M_PI) * 0.5 / M_PI
-        v = jnp.arccos(jnp.clip(-r[..., 1], -1.0, 1.0)) / M_PI
-        tx = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-        ty = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-        tex = lights.env_texture[ty, tx]
         if lights.env_is_cube:
             # true cube lookup for the radiance (Device.cpp:3014-3283 cube
-            # CUarrays); env_texture is then only the equirect proxy whose
-            # texels define the sampling pdf — MIS stays consistent because
-            # the pdf used HERE matches the pdf NEE actually samples with
-            from .texture import sample_cube_env
+            # CUarrays) AND for the MIS pdf: env_pdf is the [6, Hc, Wc]
+            # intensity * invIntegral grid over the ACTUAL face texels —
+            # the same grid NEE samples from, so MIS stays consistent
+            from .texture import cube_face_uv, sample_cube_env
 
+            _, ch, cw, _ = lights.env_cube.shape
+            face, u, v = cube_face_uv(r)
+            tx = jnp.clip((u * cw).astype(jnp.int32), 0, cw - 1)
+            ty = jnp.clip((v * ch).astype(jnp.int32), 0, ch - 1)
             rad = sample_cube_env(lights.env_cube, r)
+            pdf = lights.env_pdf[face, ty, tx]
         else:
-            rad = tex
+            h, w, _ = lights.env_texture.shape
+            u = (jnp.arctan2(-r[..., 0], r[..., 2]) + M_PI) * 0.5 / M_PI
+            v = jnp.arccos(jnp.clip(-r[..., 1], -1.0, 1.0)) / M_PI
+            tx = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+            ty = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+            rad = lights.env_texture[ty, tx]
+            # pdf = intensity(tex) * invIntegral (miss.cu:195-198)
+            pdf = rad.mean(axis=-1) * lights.inv_integral[0]
         emission = rad * lights.emission[0]
-        # pdf = intensity(tex) * invIntegral (miss.cu:195-198)
-        pdf = tex.mean(axis=-1) * lights.inv_integral[0]
         return emission, pdf, True
     return jnp.zeros((n, 3)), jnp.zeros((n,)), False

@@ -100,6 +100,29 @@ def cube_face_uv(direction: jnp.ndarray):
     return face, u, v
 
 
+def cube_dir_from_face_uv(face: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Inverse of ``cube_face_uv``: (face [N] i32, u, v in [0,1]) -> unit
+    direction [N, 3] (same D3D face convention). Used by cube-env
+    importance sampling to turn a sampled face texel into a ray."""
+    sc = u * 2.0 - 1.0
+    tc = v * 2.0 - 1.0
+    one = jnp.ones_like(sc)
+    # per-face (x, y, z) as functions of (sc, tc); rows match faces 0..5
+    xs = jnp.stack([one, -one, sc, sc, sc, -sc], axis=-1)
+    ys = jnp.stack([-tc, -tc, one, -one, -tc, -tc], axis=-1)
+    zs = jnp.stack([-sc, sc, tc, -tc, one, -one], axis=-1)
+    oh = face[..., None] == jnp.arange(6, dtype=jnp.int32)
+    d = jnp.stack(
+        [
+            jnp.sum(jnp.where(oh, xs, 0.0), axis=-1),
+            jnp.sum(jnp.where(oh, ys, 0.0), axis=-1),
+            jnp.sum(jnp.where(oh, zs, 0.0), axis=-1),
+        ],
+        axis=-1,
+    )
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
 def sample_cube_env(cube: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     """Bilinear cube-map fetch from a dense [6, H, W, C] face stack by
     direction [N, 3] -> [N, C]. Filtering clamps within the face (no

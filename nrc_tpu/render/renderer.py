@@ -147,7 +147,13 @@ class Renderer:
             encoding = InputEncoding[encoding.upper()]
         if encoding == self.net_cfg.encoding:
             return
-        self.net_cfg = dataclasses.replace(self.net_cfg, encoding=encoding)
+        # ema_decay=None + adam_eps reset so __post_init__ re-resolves both
+        # for the NEW encoding (a plain replace would carry the previous
+        # encoding's resolved values: FREQ->HASH would keep EMA 0.95 and
+        # eps 1e-8 instead of tcnn's 0.99/1e-15, and back)
+        self.net_cfg = dataclasses.replace(
+            self.net_cfg, encoding=encoding, ema_decay=None, adam_eps=1e-8
+        )
         # per-encoding default lr (NetworkConfig.learning_rate derives it,
         # matching cfg::modelConfig's 1e-3 freq / 1e-2 hash)
         self.hyper = dataclasses.replace(

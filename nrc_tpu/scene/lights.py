@@ -117,6 +117,39 @@ def build_env_cdf(texture: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
     return cdf_u.astype(np.float32), cdf_v.astype(np.float32), float(max(integral, 1e-20))
 
 
+def cube_texel_solid_angles(h: int, w: int) -> np.ndarray:
+    """Exact per-texel solid angles [h, w] of one cube face.
+
+    Face coordinates a, b span [-1, 1]; the solid angle of the rectangle
+    [a0,a1]x[b0,b1] projected onto the unit sphere has the closed form
+    sum of phi(a,b) = atan2(a*b, sqrt(1+a^2+b^2)) over its corners with
+    alternating signs. Each face integrates to 4*pi/6 (pinned by test)."""
+    a = np.linspace(-1.0, 1.0, w + 1)
+    b = np.linspace(-1.0, 1.0, h + 1)
+    aa, bb = np.meshgrid(a, b)  # [h+1, w+1]
+    phi = np.arctan2(aa * bb, np.sqrt(1.0 + aa * aa + bb * bb))
+    return (phi[1:, 1:] - phi[:-1, 1:] - phi[1:, :-1] + phi[:-1, :-1]).astype(
+        np.float64
+    )
+
+
+def build_cube_env_weights(cube: np.ndarray) -> tuple[np.ndarray, float]:
+    """Importance weights + integral for a [6, H, W, 3] cube env map, built
+    from the ACTUAL face texels (the equirect proxy is display/debug only).
+
+    weight[f, y, x] = intensity * texel solid angle;
+    integral = sum(intensity * omega) — the ``invIntegral`` convention the
+    reference uses for its MIS pdf (pdf = intensity * invIntegral,
+    ``miss.cu:195-198``; the reference never builds cube CDFs at all — its
+    ``calculateSphericalCDF`` runs only for equirect ENV textures,
+    ``Texture.cpp:1046-1050`` — so this is a strict superset)."""
+    intensity = cube.mean(axis=-1).astype(np.float64)  # [6, H, W]
+    omega = cube_texel_solid_angles(cube.shape[1], cube.shape[2])
+    weights = intensity * omega[None]
+    integral = float(weights.sum())
+    return weights, max(integral, 1e-20)
+
+
 def build_alias_table(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Walker alias table -> (prob [N] f32, alias [N] i32).
 

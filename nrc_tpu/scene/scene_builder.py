@@ -323,6 +323,15 @@ def _build_lights(
                     env_texture = tex
                     env_cube = cube
                     env_cdf_u, env_cdf_v, integral = build_env_cdf(tex)
+                    if cube is not None:
+                        # cube maps: integral over the ACTUAL face texels
+                        # (intensity x exact texel solid angle) so the MIS
+                        # pdf convention matches the cube-built importance
+                        # tables (ops/light_sampling.py) — the equirect
+                        # proxy is display/fallback only
+                        from .lights import build_cube_env_weights
+
+                        _, integral = build_cube_env_weights(cube)
                     add(
                         TYPE_LIGHT_ENV_SPHERE, ld.matrix,
                         emission if any(emission) else (1.0, 1.0, 1.0),

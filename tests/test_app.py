@@ -106,3 +106,30 @@ class TestRenderStateCheckpoint:
         cfg = NetworkConfig()
         p = save_checkpoint(str(tmp_path / "net"), init_network(jax.random.PRNGKey(0), cfg))
         assert not is_render_state(p)
+
+
+class TestLiveEncodingSwitch:
+    def test_hyperparams_reresolved(self):
+        """A live encoding switch must re-resolve the per-encoding EMA decay
+        and Adam eps (round-3 advisor: dataclasses.replace carried the OLD
+        encoding's resolved values — FREQ->HASH kept 0.95/1e-8 instead of
+        tcnn's 0.99/1e-15, ``NRCNetworkConfigs.h:96-117``)."""
+        from nrc_tpu.config import RenderMode, default_ema_decay, train_lr
+        from nrc_tpu.render.renderer import Renderer
+        from nrc_tpu.scene.scene_builder import load_scene
+
+        ref = "/root/reference/data"
+        scene, system = load_scene(
+            f"{ref}/system_mdl_cornell.txt", f"{ref}/scene_mdl_cornell.txt"
+        )
+        system.resolution = (16, 16)
+        system.tile_size = (8, 8)
+        r = Renderer(scene, system, render_mode=RenderMode.FULL, train=True,
+                     adaptive_tiles=False)
+        for enc in (InputEncoding.HASH, InputEncoding.FREQUENCY):
+            r.set_encoding(enc)
+            assert r.net_cfg.ema_decay == default_ema_decay(enc)
+            assert r.net_cfg.adam_eps == (
+                1e-15 if enc == InputEncoding.HASH else 1e-8
+            )
+            assert r.hyper.learning_rate == train_lr(enc)

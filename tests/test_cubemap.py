@@ -141,3 +141,96 @@ class TestCubeEnvRender:
             axis=1,
         )
         assert len(np.unique(nearest)) >= 2
+
+
+class TestCubeImportanceSampling:
+    """Importance tables from the ACTUAL cube faces (VERDICT r3 missing #3;
+    reference never builds cube CDFs — ``Texture.cpp:1046-1050`` runs
+    ``calculateSphericalCDF`` only for equirect ENV textures)."""
+
+    def test_dir_from_face_uv_inverts_face_uv(self):
+        from nrc_tpu.ops.texture import cube_dir_from_face_uv
+
+        rng = np.random.default_rng(7)
+        d = rng.normal(size=(512, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        face, u, v = cube_face_uv(jnp.asarray(d))
+        back = np.asarray(cube_dir_from_face_uv(face, u, v))
+        np.testing.assert_allclose(back, d, atol=1e-5)
+
+    def test_texel_solid_angles_sum_to_sphere(self):
+        from nrc_tpu.scene.lights import cube_texel_solid_angles
+
+        for h, w in ((8, 8), (5, 9)):
+            omega = cube_texel_solid_angles(h, w)
+            assert omega.shape == (h, w)
+            assert np.all(omega > 0)
+            # one face covers 1/6 of the sphere
+            np.testing.assert_allclose(omega.sum(), 4 * np.pi / 6, rtol=1e-6)
+
+    def test_sampled_density_matches_face_luminance(self):
+        """Sampling density must track the ACTUAL face texels: a cube with
+        one bright texel draws samples into that texel in proportion to its
+        intensity x solid-angle weight, and the reported pdf agrees with
+        the miss-path env_radiance pdf at the sampled directions."""
+        from nrc_tpu.ops.light_sampling import (
+            env_radiance, sample_lights, upload_lights,
+        )
+        from nrc_tpu.ops.texture import cube_face_uv as face_uv
+        from nrc_tpu.scene.lights import (
+            LightTable, TYPE_LIGHT_ENV_SPHERE, build_cube_env_weights,
+            empty_light_table,
+        )
+        import dataclasses
+        import jax
+
+        hc = 8
+        cube = np.full((6, hc, hc, 3), 0.05, np.float32)
+        cube[3, 2, 5] = 20.0  # one bright texel on -Y
+        lt = empty_light_table()
+        lt = dataclasses.replace(
+            lt,
+            type=np.asarray([TYPE_LIGHT_ENV_SPHERE], np.int32),
+            matrix=np.eye(4, dtype=np.float32)[None],
+            matrix_inv=np.eye(4, dtype=np.float32)[None],
+            emission=np.ones((1, 3), np.float32),
+            area=np.zeros((1,), np.float32),
+            inv_integral=np.zeros((1,), np.float32),
+            spot_angle_half=np.zeros((1,), np.float32),
+            spot_exponent=np.zeros((1,), np.float32),
+            material_id=np.full((1,), -1, np.int32),
+            tri_start=np.zeros((1,), np.int32),
+            tri_count=np.zeros((1,), np.int32),
+            env_texture=np.zeros((4, 8, 3), np.float32),  # display proxy
+            env_cube=cube,
+        )
+        weights, integral = build_cube_env_weights(cube)
+        lt.inv_integral[0] = 1.0 / integral
+        lights = upload_lights(lt)
+
+        n = 20000
+        key = jax.random.PRNGKey(0)
+        xi = jax.random.uniform(key, (n, 4))
+        pos = jnp.zeros((n, 3))
+        ls = sample_lights(lights, pos, xi)
+        d = np.asarray(ls.direction)
+        pdf = np.asarray(ls.pdf)
+        assert np.all(pdf > 0)
+
+        # fraction of samples in the bright texel ~ its weight share
+        face, u, v = (np.asarray(x) for x in face_uv(jnp.asarray(d)))
+        tx = np.clip((u * hc).astype(np.int32), 0, hc - 1)
+        ty = np.clip((v * hc).astype(np.int32), 0, hc - 1)
+        in_bright = (face == 3) & (ty == 2) & (tx == 5)
+        share = weights[3, 2, 5] / weights.sum()
+        got = in_bright.mean()
+        assert abs(got - share) < 0.15 * share, (got, share)
+
+        # pdf reported by NEE == pdf env_radiance computes for MIS
+        em, pdf_miss, has = env_radiance(lights, jnp.asarray(d))
+        np.testing.assert_allclose(
+            pdf, np.asarray(pdf_miss), rtol=1e-5, atol=1e-7
+        )
+        # and it equals intensity * invIntegral of the true texel
+        want = cube.mean(axis=-1)[face, ty, tx] / integral
+        np.testing.assert_allclose(pdf, want, rtol=1e-4)

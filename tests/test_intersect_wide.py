@@ -158,7 +158,7 @@ class TestSort8:
         key = rng.random((257, 8)).astype(np.float32)
         key[rng.random((257, 8)) < 0.3] = np.inf  # missed/empty slots
         val = rng.integers(-100, 100, (257, 8)).astype(np.int32)
-        got = np.asarray(sort8_by_key(jnp.asarray(key), jnp.asarray(val), 0))
+        got = np.asarray(sort8_by_key(jnp.asarray(key), jnp.asarray(val)))
         order = np.argsort(key, axis=1, kind="stable")
         want = np.take_along_axis(val, order, axis=1)
         skey = np.take_along_axis(key, order, axis=1)
