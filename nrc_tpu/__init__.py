@@ -43,9 +43,11 @@ if not _os.environ.get("NRC_NO_COMPILE_CACHE"):
         import jax as _jax
 
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        # only persist genuinely expensive programs (the demo frame
-        # program compiles for minutes; trivia would churn the dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # persist anything that takes >=1 s to compile: the demo frame
+        # program (minutes) is the headline win, but the dozen ~1-2 s
+        # PRNG/init programs the network bootstrap builds re-paid ~6 s per
+        # process until they were cached too (round-4 upload budget)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         del _jax
     except Exception:  # pragma: no cover - cache is an optimization only
         pass

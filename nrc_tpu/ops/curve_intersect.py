@@ -111,20 +111,25 @@ class CurveSoA(NamedTuple):
 
     @staticmethod
     def build(seg) -> "CurveSoA":
-        """From a host ``scene.hair.CurveSegments``."""
+        """From a host ``scene.hair.CurveSegments``. Stays numpy — the
+        scene-upload boundary ships the whole DeviceScene as a few packed
+        transfers (``utils.device_pack``)."""
+        f = lambda x: np.ascontiguousarray(np.asarray(x, np.float32))
         ba = (seg.pb - seg.pa).astype(np.float32)
         return CurveSoA(
-            pa=jnp.asarray(seg.pa),
-            ba=jnp.asarray(ba),
-            ra=jnp.asarray(seg.ra),
-            rb=jnp.asarray(seg.rb),
-            m0=jnp.asarray(np.sum(ba * ba, axis=-1)),
-            u_a=jnp.asarray(seg.u_a),
-            u_b=jnp.asarray(seg.u_b),
-            reference=jnp.asarray(seg.reference),
-            color_a=jnp.asarray(seg.color_a),
-            color_b=jnp.asarray(seg.color_b),
-            material_id=jnp.asarray(seg.material_id, jnp.int32),
+            pa=f(seg.pa),
+            ba=f(ba),
+            ra=f(seg.ra),
+            rb=f(seg.rb),
+            m0=f(np.sum(ba * ba, axis=-1)),
+            u_a=f(seg.u_a),
+            u_b=f(seg.u_b),
+            reference=f(seg.reference),
+            color_a=f(seg.color_a),
+            color_b=f(seg.color_b),
+            material_id=np.ascontiguousarray(
+                np.asarray(seg.material_id, np.int32)
+            ),
         )
 
 

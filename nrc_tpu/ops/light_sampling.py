@@ -182,8 +182,11 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
         ies_texture = np.ones((1, 1, 1), np.float32)
         ies_index = np.full((max(n, 1),), -1, np.int32)
 
-    def j(x, dt=jnp.float32):
-        return jnp.asarray(x, dt)
+    def j(x, dt=np.float32):
+        # host numpy, not device: the DeviceLights pytree rides the packed
+        # DeviceScene transfer (``utils.device_pack``) instead of paying a
+        # tunnel round trip per array
+        return np.ascontiguousarray(np.asarray(x, dt))
 
     if n == 0:
         z = np.zeros

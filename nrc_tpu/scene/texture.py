@@ -159,18 +159,19 @@ class TextureAtlas:
         return tex_id
 
     def device_arrays(self) -> dict:
-        """Pytree of jnp arrays for ``ops.texture`` lookups. When the scene
-        has no textures, 1-entry dummies keep shapes static and valid."""
-        import jax.numpy as jnp
+        """Pytree of HOST (numpy) arrays for ``ops.texture`` lookups; the
+        scene-upload boundary ships them in the packed DeviceScene transfer
+        (``utils.device_pack``). When the scene has no textures, 1-entry
+        dummies keep shapes static and valid."""
 
         def pad1(a, fill):
             return a if a.shape[0] else np.asarray([fill], a.dtype)
 
         return {
-            "texels": jnp.asarray(self.texels),
-            "level_offset": jnp.asarray(pad1(self.level_offset, 0)),
-            "level_w": jnp.asarray(pad1(self.level_w, 1)),
-            "level_h": jnp.asarray(pad1(self.level_h, 1)),
-            "tex_level_base": jnp.asarray(pad1(self.tex_level_base, 0)),
-            "tex_num_levels": jnp.asarray(pad1(self.tex_num_levels, 1)),
+            "texels": np.ascontiguousarray(self.texels, np.float32),
+            "level_offset": pad1(self.level_offset, 0),
+            "level_w": pad1(self.level_w, 1),
+            "level_h": pad1(self.level_h, 1),
+            "tex_level_base": pad1(self.tex_level_base, 0),
+            "tex_num_levels": pad1(self.tex_num_levels, 1),
         }

@@ -149,3 +149,42 @@ class TestImageIO:
         img = load_radiance_hdr(path)
         assert img.shape == (1500, 3000, 3)
         assert np.all(np.isfinite(img)) and img.max() > 1.0
+
+
+class TestDevicePutPacked:
+    def test_roundtrip_mixed_tree(self):
+        from nrc_tpu.utils.device_pack import device_put_packed
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        tree = {
+            "a": rng.random((7, 3)).astype(np.float32),
+            "b": np.arange(11, dtype=np.int32).reshape(11, 1),
+            "c": np.asarray([True, False, True]),
+            "d": rng.random((2, 2)),          # f64 -> f32 like jnp.asarray
+            "e": jnp.ones((4,)),              # already-device: pass-through
+            "f": None,
+            "g": np.zeros((0, 3), np.float32),  # empty leaf
+            "s": "static",                    # non-array leaf untouched
+        }
+        out = device_put_packed(tree)
+        np.testing.assert_array_equal(np.asarray(out["a"]), tree["a"])
+        np.testing.assert_array_equal(np.asarray(out["b"]), tree["b"])
+        assert out["b"].dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(out["c"]), tree["c"])
+        assert out["c"].dtype == jnp.bool_
+        np.testing.assert_allclose(
+            np.asarray(out["d"]), tree["d"].astype(np.float32)
+        )
+        assert out["e"] is tree["e"]
+        assert out["f"] is None and out["s"] == "static"
+        assert out["g"].shape == (0, 3)
+        # all converted leaves are device arrays
+        for k in ("a", "b", "c", "d", "g"):
+            assert isinstance(out[k], jnp.ndarray), k
+
+    def test_f64_input_canonicalized(self):
+        from nrc_tpu.utils.device_pack import device_put_packed
+
+        out = device_put_packed({"x": np.asarray([1.5, 2.5])})
+        assert str(out["x"].dtype) == "float32"
