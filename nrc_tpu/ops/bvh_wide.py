@@ -314,6 +314,7 @@ def flatten_wide_rows(
 
     return {
         "rows": rows,                                    # [W + L, P] f32
+        "branch": np.zeros((1, branch), np.int32),       # static via shape
         "wsplit": np.zeros((1, W), np.int32),            # static via shape
         "leaf_ids": ids_mat,
         "root": root,                                    # [2, 3] exact AABB
@@ -323,4 +324,25 @@ def flatten_wide_rows(
         # derive leaf_size = leaf_ids.shape[1] instead of hardcoding the
         # 9-float triangle row layout
         "leaf_row_w": np.zeros((1, row_w), np.int32),
+    }
+
+
+def split_rows_u16(rows: np.ndarray) -> Dict[str, np.ndarray]:
+    """f32 row table -> two uint16 HALF tables (hi/lo bits of every value).
+
+    XLA:TPU's row gather cost tracks the PHYSICAL row size after lane
+    padding: a [R, P<=128] f32 row pads to 512 B and gathers ~6x slower
+    than a 256 B 16-bit row (measured round 4, interleaved: f32 [300k,80]
+    ~15 us net per 2048-row gather vs ~2.5 us for u16/bf16 — the gather is
+    84% of the wide walk). Storing the unified node+leaf table as two u16
+    half tables makes the walk pay two fast gathers + a full-width
+    reconstruct (cast/shift/or/bitcast) instead of one slow gather, with
+    BIT-EXACT f32 rows — geometry precision and the i32 meta/pid columns
+    are untouched."""
+    assert rows.dtype == np.float32 and rows.shape[1] <= 128
+    u16 = rows.view(np.uint16).reshape(rows.shape[0], rows.shape[1], 2)
+    # little-endian: [..., 0] = low half, [..., 1] = high half
+    return {
+        "rows_lo": np.ascontiguousarray(u16[..., 0]),
+        "rows_hi": np.ascontiguousarray(u16[..., 1]),
     }

@@ -279,7 +279,7 @@ def _chunked_traverse_curves(org, direction, bvh, tmin, tmax, any_hit: bool):
 
 
 def intersect_curves_bvh(org, direction, bvh, curves: CurveSoA, tmin, tmax) -> CurveHit:
-    if "rows" in bvh:  # 8-wide production walk (large strand counts)
+    if "rows" in bvh or "rows_hi" in bvh:  # 8-wide production walk (large strand counts)
         from .intersect_wide import intersect_curves_wbvh
 
         t, prim = intersect_curves_wbvh(org, direction, bvh, tmin, tmax)
@@ -289,7 +289,7 @@ def intersect_curves_bvh(org, direction, bvh, curves: CurveSoA, tmin, tmax) -> C
 
 
 def occluded_curves_bvh(org, direction, bvh, curves: CurveSoA, tmin, tmax) -> jnp.ndarray:
-    if "rows" in bvh:
+    if "rows" in bvh or "rows_hi" in bvh:
         from .intersect_wide import occluded_curves_wbvh
 
         return occluded_curves_wbvh(org, direction, bvh, tmin, tmax)

@@ -504,7 +504,7 @@ def make_intersectors(tris: TriSoA, bvh=None):
     path; kernel parity is covered by interpret-mode tests.
     """
     if bvh is not None and tris.num > BVH_THRESHOLD:
-        if "rows" in bvh:  # 8-wide walk (ops/intersect_wide.py)
+        if "rows" in bvh or "rows_hi" in bvh:  # 8-wide walk (ops/intersect_wide.py)
             from .intersect_wide import intersect_wbvh, occluded_wbvh
 
             return (

@@ -138,26 +138,46 @@ def _leaf_cone_t(c, pid, org, direction, tmin, cap):
     return jnp.where(pid >= 0, t, RT_MAX)
 
 
-# Batcher odd-even merge sorting network for 8 elements (19 comparators):
-# ascending keys with a payload carried through every compare-exchange.
-_SORT8 = (
-    (0, 1), (2, 3), (4, 5), (6, 7),
-    (0, 2), (1, 3), (4, 6), (5, 7),
-    (1, 2), (5, 6),
-    (0, 4), (1, 5), (2, 6), (3, 7),
-    (2, 4), (3, 5),
-    (1, 2), (3, 4), (5, 6),
-)
+def _batcher_network(n: int):
+    """Batcher odd-even mergesort comparator pairs for power-of-2 n
+    (n=8 -> the classic 19-comparator network, n=16 -> 63)."""
+    pairs = []
+
+    def merge(lo, m, r):
+        step = r * 2
+        if step < m:
+            merge(lo, m, step)
+            merge(lo + r, m, step)
+            for i in range(lo + r, lo + m - r, step):
+                pairs.append((i, i + r))
+        else:
+            pairs.append((lo, lo + r))
+
+    def sort(lo, m):
+        if m > 1:
+            k = m // 2
+            sort(lo, k)
+            sort(lo + k, k)
+            merge(lo, m, 1)
+
+    sort(0, n)
+    return tuple(pairs)
+
+
+_SORT_NETS = {8: _batcher_network(8), 16: _batcher_network(16)}
 
 
 def sort8_by_key(key, val):
-    """Sort 8 [N]-columns of ``val`` by ascending ``key`` ([N, 8] each)
-    with a 19-comparator network — pure full-width VPU selects, no
-    per-lane gathers. Masked entries must arrive with key=+inf and val
-    already set to the caller's sentinel (they sort to the back)."""
-    keys = [key[:, i] for i in range(8)]
-    vals = [val[:, i] for i in range(8)]
-    for i, j in _SORT8:
+    """Sort the B [N]-columns of ``val`` by ascending ``key`` ([N, B]
+    each, B a power of 2) with a Batcher network (19 comparators at B=8)
+    — pure full-width VPU selects, no per-lane gathers. Masked entries
+    must arrive with key=+inf and val already set to the caller's
+    sentinel (they sort to the back)."""
+    b = key.shape[1]
+    net = _SORT_NETS.get(b) or _SORT_NETS.setdefault(b, _batcher_network(b))
+    keys = [key[:, i] for i in range(b)]
+    vals = [val[:, i] for i in range(b)]
+    for i, j in net:
         ki, kj = keys[i], keys[j]
         vi, vj = vals[i], vals[j]
         swap = kj < ki
@@ -183,17 +203,29 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
     visit time (``sort8_by_key``), giving true per-ray ordered descent
     (shrinks best_t sooner -> more subtree culls) without the 8x
     octant-replicated node variants."""
-    from .bvh_wide import BRANCH as branch
+    from .bvh_wide import BRANCH
+
+    # branch width shape-carried by the build ("branch" key; legacy dicts
+    # without it are 8-wide)
+    branch = wb["branch"].shape[1] if "branch" in wb else BRANCH
 
     n = org.shape[0]
-    rows_tab = wb["rows"]                    # [W + L, P]
+    # split u16 half tables when present (production upload): two 256 B-row
+    # gathers + bit-exact f32 reconstruct beat one 512 B-row f32 gather ~2x
+    # on the gather that is 84% of the walk (see bvh_wide.split_rows_u16)
+    split = "rows_hi" in wb
+    if split:
+        rows_hi, rows_lo = wb["rows_hi"], wb["rows_lo"]  # [W + L, P] u16
+        P = rows_hi.shape[1]
+    else:
+        rows_tab = wb["rows"]                # [W + L, P]
+        P = rows_tab.shape[1]
     W = wb["wsplit"].shape[1]                # node-row count (static)
     D = wb["depth"].shape[1]                 # static max depth
     # per-primitive payload width, shape-carried by the build (9 floats for
     # both triangles p0|e1|e2 and curve segments pa|ba|ra,rb,m0)
     prim_row_w = wb["leaf_row_w"].shape[1]
     leaf_size = wb["leaf_ids"].shape[1]
-    P = rows_tab.shape[1]
     assert P >= 7 * branch and P >= (prim_row_w + 1) * leaf_size
 
     inv_d = jnp.where(
@@ -242,7 +274,14 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
         live = ~done
 
         # ---- THE gather: one unified row per lane per step --------------
-        row = rows_tab[jnp.maximum(pending, 0)]              # [N, P]
+        mi = jnp.maximum(pending, 0)
+        if split:
+            bits = (
+                rows_hi[mi].astype(jnp.uint32) << 16
+            ) | rows_lo[mi].astype(jnp.uint32)
+            row = jax.lax.bitcast_convert_type(bits, jnp.float32)  # [N, P]
+        else:
+            row = rows_tab[mi]                               # [N, P]
 
         # ---- leaf service: lanes whose pending row is a leaf test its
         # leaf_size primitives (vectorized over the leaf axis)

@@ -79,8 +79,11 @@ def _curve_lookup(curve: jnp.ndarray, cos_t: jnp.ndarray) -> jnp.ndarray:
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, k - 1)
     i1 = jnp.minimum(i0 + 1, k - 1)
     f = (x - i0.astype(jnp.float32))[..., None]
-    rows = jnp.arange(curve.shape[0])
-    return curve[rows, i0] * (1.0 - f) + curve[rows, i1] * f
+    # one-hot picks, not per-lane gathers (utils.math.pick1): K is small
+    # and TPU gathers cost ~15 ns/index regardless of width
+    from ..utils.math import pick1
+
+    return pick1(curve, i0) * (1.0 - f) + pick1(curve, i1) * f
 
 
 def fresnel_conductor(cos_i: jnp.ndarray, n: jnp.ndarray, k: jnp.ndarray):

@@ -38,6 +38,23 @@ M_PI = float(jnp.pi)
 RT_MAX = np.float32(3.0e38)
 DENOM_EPS = 1.0e-6
 
+# merged per-light row layout (round 4): every field ``sample_lights``
+# needs rides ONE row gather by the chosen light index; ints stored as f32
+# (values << 2^24, exact round trip). ori/ori_inv are row-major 3x3.
+_LIGHT_ROW = [
+    ("type", 1), ("position", 3), ("emission", 3), ("ori", 9),
+    ("ori_inv", 9), ("spot_cos_half", 1), ("spot_angle_half", 1),
+    ("spot_exponent", 1), ("area", 1), ("emission_radiance", 3),
+    ("ies_index", 1), ("tri_count", 1), ("tri_start", 1),
+]
+_light_row_cols = {}
+_o = 0
+for _nm, _w in _LIGHT_ROW:
+    _light_row_cols[_nm] = (_o, _o + _w)
+    _o += _w
+LIGHT_ROW_W = _o
+del _nm, _w, _o
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -47,7 +64,7 @@ DENOM_EPS = 1.0e-6
         "inv_integral", "spot_cos_half", "spot_angle_half", "spot_exponent",
         "material_id", "emission_radiance", "tri_start", "tri_count",
         "mesh_p0", "mesh_p1", "mesh_p2", "mesh_n0", "mesh_n1", "mesh_n2",
-        "mesh_uv0", "mesh_uv1", "mesh_uv2",
+        "mesh_uv0", "mesh_uv1", "mesh_uv2", "mesh_row", "light_row",
         "mesh_prob", "mesh_alias", "env_texture", "env_prob", "env_alias",
         "env_pdf", "env_cube", "ies_texture", "ies_index",
     ),
@@ -87,6 +104,10 @@ class DeviceLights:
     mesh_uv0: jnp.ndarray       # [T, 2] texcoords (textured mesh-light EDFs)
     mesh_uv1: jnp.ndarray
     mesh_uv2: jnp.ndarray
+    # merged pool row p0|p1|p2|uv0|uv1|uv2 — the sampled triangle's whole
+    # fetch is ONE row gather (round 4)
+    mesh_row: jnp.ndarray       # [T, 15]
+    light_row: jnp.ndarray      # [L, LIGHT_ROW_W] merged per-light row
     mesh_prob: jnp.ndarray
     mesh_alias: jnp.ndarray
     # environment (dummy 1x1 when absent)
@@ -201,6 +222,8 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
             mesh_p0=j(z((1, 3))), mesh_p1=j(z((1, 3))), mesh_p2=j(z((1, 3))),
             mesh_n0=j(z((1, 3))), mesh_n1=j(z((1, 3))), mesh_n2=j(z((1, 3))),
             mesh_uv0=j(z((1, 2))), mesh_uv1=j(z((1, 2))), mesh_uv2=j(z((1, 2))),
+            mesh_row=j(z((1, 15))),
+            light_row=j(z((1, LIGHT_ROW_W))),
             mesh_prob=j(mesh_prob), mesh_alias=j(mesh_alias, jnp.int32),
             env_texture=j(env_texture), env_prob=j(env_prob),
             env_alias=j(env_alias, jnp.int32), env_pdf=j(env_pdf),
@@ -233,6 +256,37 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
         mesh_uv0=j(pad1(lt.mesh_uv0 if lt.mesh_uv0 is not None else np.zeros((0, 2), np.float32))),
         mesh_uv1=j(pad1(lt.mesh_uv1 if lt.mesh_uv1 is not None else np.zeros((0, 2), np.float32))),
         mesh_uv2=j(pad1(lt.mesh_uv2 if lt.mesh_uv2 is not None else np.zeros((0, 2), np.float32))),
+        light_row=np.concatenate(
+            [
+                j(lt.type).reshape(n, 1),
+                j(lt.matrix[:, :3, 3]),
+                j(lt.emission),
+                j(lt.matrix[:, :3, :3]).reshape(n, 9),
+                j(lt.matrix_inv[:, :3, :3]).reshape(n, 9),
+                j(np.cos(lt.spot_angle_half)).reshape(n, 1),
+                j(lt.spot_angle_half).reshape(n, 1),
+                j(lt.spot_exponent).reshape(n, 1),
+                j(lt.area).reshape(n, 1),
+                j(emission_radiance),
+                j(lt.ies_index if lt.ies_index is not None
+                  else np.full(n, -1)).reshape(n, 1),
+                j(np.maximum(lt.tri_count, 1)).reshape(n, 1),
+                j(lt.tri_start).reshape(n, 1),
+            ],
+            axis=-1,
+        ),
+        mesh_row=np.concatenate(
+            [
+                j(pad1(lt.mesh_p0)), j(pad1(lt.mesh_p1)), j(pad1(lt.mesh_p2)),
+                j(pad1(lt.mesh_uv0 if lt.mesh_uv0 is not None
+                       else np.zeros((0, 2), np.float32))),
+                j(pad1(lt.mesh_uv1 if lt.mesh_uv1 is not None
+                       else np.zeros((0, 2), np.float32))),
+                j(pad1(lt.mesh_uv2 if lt.mesh_uv2 is not None
+                       else np.zeros((0, 2), np.float32))),
+            ],
+            axis=-1,
+        ),
         mesh_prob=j(mesh_prob),
         mesh_alias=j(mesh_alias, jnp.int32),
         env_texture=j(env_texture),
@@ -279,8 +333,27 @@ def sample_lights(
         )
 
     idx = jnp.minimum((xi[:, 0] * num).astype(jnp.int32), num - 1)
-    ltype = lights.type[idx]
-    emission = lights.emission[idx]
+    # ONE merged light-row gather replaces ~15 per-field [N]-index gathers
+    # (TPU gathers cost ~15 ns/index regardless of width, BASELINE.md
+    # round-4 study; a one-hot-matmul variant measured 2.3x WORSE — ~15
+    # tiny MXU dispatches per NEE call swamped what they saved).
+    lrow = lights.light_row[idx]                  # [N, 35]
+    _L = _light_row_cols
+
+    def pf(name):
+        a, b = _L[name]
+        v = lrow[..., a:b]
+        if b - a == 1:
+            return v[..., 0]
+        if b - a == 9:
+            return v.reshape(v.shape[:-1] + (3, 3))
+        return v
+
+    def pi(name):
+        return pf(name).astype(jnp.int32)
+
+    ltype = pi("type")
+    emission = pf("emission")
 
     # defaults
     direction = jnp.zeros((n, 3))
@@ -293,7 +366,7 @@ def sample_lights(
     # --- singular lights (point / spot / ies) ---------------------------
     singular_types = {TYPE_LIGHT_POINT, TYPE_LIGHT_SPOT, TYPE_LIGHT_IES}
     if present & singular_types:
-        lpos = lights.position[idx]
+        lpos = pf("position")
         d = lpos - pos
         d2 = dot(d, d)
         valid = d2 > DENOM_EPS
@@ -304,14 +377,14 @@ def sample_lights(
         if TYPE_LIGHT_SPOT in present:
             # spot cone falloff (light_sample.cu:188-210): angle between the
             # light->surface direction and the light's local +z axis
-            z_axis = normalize(lights.ori[idx][..., :, 2])  # local +z in world
+            z_axis = normalize(pf("ori")[..., :, 2])  # local +z in world
             cos_theta = dot(-dirn, z_axis)
-            inside = cos_theta >= lights.spot_cos_half[idx]
-            ang_half = jnp.maximum(lights.spot_angle_half[idx], 1e-6)
+            inside = cos_theta >= pf("spot_cos_half")
+            ang_half = jnp.maximum(pf("spot_angle_half"), 1e-6)
             cos_hemi = jnp.cos(
                 (M_PI / 2.0) * jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0)) / ang_half
             )
-            falloff = jnp.power(jnp.maximum(cos_hemi, 0.0), lights.spot_exponent[idx])
+            falloff = jnp.power(jnp.maximum(cos_hemi, 0.0), pf("spot_exponent"))
             is_spot = ltype == TYPE_LIGHT_SPOT
             emis = jnp.where(is_spot[..., None], emis * falloff[..., None], emis)
             valid = valid & jnp.where(is_spot, inside, True)
@@ -321,11 +394,11 @@ def sample_lights(
             # frame (light_sample.cu:186-199): u azimuth with wrap, v polar
             # from the nadir; bilinear filtered
             r = -dirn  # light -> surface, world
-            rl = jnp.einsum("nij,nj->ni", lights.ori_inv[idx], r)
+            rl = jnp.einsum("nij,nj->ni", pf("ori_inv"), r)
             u = (jnp.arctan2(-rl[..., 0], rl[..., 2]) + M_PI) * 0.5 / M_PI
             v = jnp.arccos(jnp.clip(-rl[..., 1], -1.0, 1.0)) / M_PI
             ni, th, tw = lights.ies_texture.shape
-            prof = jnp.maximum(lights.ies_index[idx], 0)
+            prof = jnp.maximum(pi("ies_index"), 0)
             fx = u * tw - 0.5
             fy = v * th - 0.5
             x0 = jnp.floor(fx).astype(jnp.int32)
@@ -342,7 +415,7 @@ def sample_lights(
                 (1 - wy) * ((1 - wx) * t00 + wx * t10)
                 + wy * ((1 - wx) * t01 + wx * t11)
             )
-            has_prof = (ltype == TYPE_LIGHT_IES) & (lights.ies_index[idx] >= 0)
+            has_prof = (ltype == TYPE_LIGHT_IES) & (pi("ies_index") >= 0)
             emis = jnp.where(has_prof[..., None], emis * candela[..., None], emis)
 
         is_sing = (
@@ -358,50 +431,48 @@ def sample_lights(
 
     # --- mesh lights ------------------------------------------------------
     if TYPE_LIGHT_MESH in present:
-        count = lights.tri_count[idx]
+        count = pi("tri_count")
         k = jnp.minimum((xi[:, 3] * count.astype(jnp.float32)).astype(jnp.int32), count - 1)
         frac = xi[:, 3] * count.astype(jnp.float32) - k.astype(jnp.float32)
         prob = lights.mesh_prob[idx, k]
         alias = lights.mesh_alias[idx, k]
         tri = jnp.where(frac < prob, k, alias)
-        flat = lights.tri_start[idx] + tri
+        flat = pi("tri_start") + tri
 
         # uniform point on triangle (hit.cu:1488-1492)
         su = jnp.sqrt(jnp.clip(xi[:, 1], 0.0, 1.0))
         a = 1.0 - su
         b = xi[:, 2] * su
         g = 1.0 - a - b
-        p = (
-            a[..., None] * lights.mesh_p0[flat]
-            + b[..., None] * lights.mesh_p1[flat]
-            + g[..., None] * lights.mesh_p2[flat]
-        )
+        mr = lights.mesh_row[flat]            # ONE pool-row gather
+        mp0, mp1, mp2 = mr[..., 0:3], mr[..., 3:6], mr[..., 6:9]
+        p = a[..., None] * mp0 + b[..., None] * mp1 + g[..., None] * mp2
         d = p - pos
         dist = jnp.sqrt(jnp.maximum(dot(d, d), 1e-20))
         dirn = d / dist[..., None]
-        ng = jnp.cross(
-            lights.mesh_p1[flat] - lights.mesh_p0[flat],
-            lights.mesh_p2[flat] - lights.mesh_p0[flat],
-        )
+        ng = jnp.cross(mp1 - mp0, mp2 - mp0)
         ng = normalize(ng)
         cos_l = dot(-dirn, ng)  # EDF cos: outgoing dir at light = -dirn
-        area = lights.area[idx]
+        area = pf("area")
         # pdf = d^2 / (area * cos) solid-angle (hit.cu:1652-1655)
         denom = jnp.maximum(area * cos_l, DENOM_EPS)
         pdf_m = dist * dist / denom
         # diffuse EDF: radiance = emission_radiance (frontface only)
-        radiance = lights.emission_radiance[idx]
+        radiance = pf("emission_radiance")
         if tex_ctx is not None:
             from .texture import apply_uv_transform, sample_bilinear
 
-            atlas, l_tex, l_xf = tex_ctx
+            atlas, l_row = tex_ctx
+            lr_tex = l_row[idx]                     # ONE [N, 7] gather
             uv_s = (
-                a[..., None] * lights.mesh_uv0[flat]
-                + b[..., None] * lights.mesh_uv1[flat]
-                + g[..., None] * lights.mesh_uv2[flat]
+                a[..., None] * mr[..., 9:11]
+                + b[..., None] * mr[..., 11:13]
+                + g[..., None] * mr[..., 13:15]
             )
-            uv_s = apply_uv_transform(uv_s, l_xf[idx])
-            radiance = radiance * sample_bilinear(atlas, l_tex[idx], uv_s)[..., :3]
+            uv_s = apply_uv_transform(uv_s, lr_tex[..., 1:7])
+            radiance = radiance * sample_bilinear(
+                atlas, lr_tex[..., 0].astype(jnp.int32), uv_s
+            )[..., :3]
         valid = (cos_l > DENOM_EPS) & (dist > DENOM_EPS) & (pdf_m > DENOM_EPS)
         rop = safe_div(radiance, pdf_m[..., None])
 
@@ -475,7 +546,7 @@ def sample_lights(
             )
             emis = lights.env_texture[ty, tx]
             pdf_e = lights.env_pdf[ty, tx]
-        dirn = jnp.einsum("nij,nj->ni", lights.ori[idx], d_obj)
+        dirn = jnp.einsum("nij,nj->ni", pf("ori"), d_obj)
         valid = pdf_e > DENOM_EPS
         rop = safe_div(emission * emis, pdf_e[..., None])
         is_env = ltype == TYPE_LIGHT_ENV_SPHERE

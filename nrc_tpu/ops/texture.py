@@ -47,16 +47,30 @@ def sample_bilinear(atlas: dict, tex_id: jnp.ndarray, uv: jnp.ndarray,
     ix1 = _wrap(ix0 + 1, w)
     iy1 = _wrap(iy0 + 1, h)
 
-    tx = atlas["texels"]
+    if "texels_quad" in atlas:
+        # production path: each row holds the texel's own wrap-neighbor
+        # quad (scene/texture.py::_quad_maps), so ALL four bilinear corners
+        # ride ONE row gather — TPU gathers cost ~15 ns/index regardless of
+        # width, and the demo frame ran ~40 corner gathers per band
+        idx = jnp.where(has, off + iy0 * w + ix0, 0)  # texel 0 = white
+        q = atlas["texels_quad"][idx]                 # [N, 16]
+        c00 = q[..., 0:4]
+        c01 = q[..., 4:8]
+        c10 = q[..., 8:12]
+        c11 = q[..., 12:16]
+        del ix1, iy1
+    else:
+        # raw host atlas dicts (unit tests) keep the 4-corner fetch
+        tx = atlas["texels"]
 
-    def fetch(iy, ix):
-        idx = jnp.where(has, off + iy * w + ix, 0)  # texel 0 = white
-        return tx[idx]
+        def fetch(iy, ix):
+            idx = jnp.where(has, off + iy * w + ix, 0)  # texel 0 = white
+            return tx[idx]
 
-    c00 = fetch(iy0, ix0)
-    c01 = fetch(iy0, ix1)
-    c10 = fetch(iy1, ix0)
-    c11 = fetch(iy1, ix1)
+        c00 = fetch(iy0, ix0)
+        c01 = fetch(iy0, ix1)
+        c10 = fetch(iy1, ix0)
+        c11 = fetch(iy1, ix1)
     out = (
         c00 * (1.0 - fx) * (1.0 - fy)
         + c01 * fx * (1.0 - fy)

@@ -38,10 +38,13 @@ from ..scene.materials import Archetype
 from ..ops.intersect import RT_MAX, make_intersectors
 from ..ops.light_sampling import env_radiance, sample_lights
 from ..utils.math import (
+    add1,
     balance_heuristic,
     cartesian_to_spherical_unit,
     dot,
     normalize,
+    pick1,
+    put1,
     safe_div,
 )
 from ..utils import rng as R
@@ -151,6 +154,40 @@ def trace_wavefront(
     direct_lighting = cfg.direct_lighting and num_lights > 0
     eps = cfg.scene_epsilon
 
+    import os as _os2
+
+    MATROW_ONEHOT = _os2.environ.get("NRC_MATROW_ONEHOT", "1") == "1"
+    # ---- merged per-material row fetch (round 4) -----------------------
+    # The shade path used to issue up to ~17 separate per-field gathers by
+    # the same material id per bounce; TPU gathers cost ~15 ns/index
+    # regardless of width (BASELINE.md round-4 gather study), so they now
+    # ride ONE row. For small tables the row fetch is a one-hot MXU matmul
+    # (~0.4 us per 8192-lane band vs ~123 us for the gather): the one-hot
+    # has exactly one 1.0 per row, so the f32 contraction is exact.
+    from .scene_device import mat_row_layout
+
+    _mat_offs, _ = mat_row_layout(scene.mat_curve.shape[1])
+    _num_mats = scene.mat_row.shape[0]
+
+    def fetch_mat_row(mid):
+        if _num_mats <= 256 and MATROW_ONEHOT:
+            oh = (
+                mid[:, None] == jnp.arange(_num_mats, dtype=mid.dtype)
+            ).astype(jnp.float32)
+            # HIGH = 3xbf16 passes: exact for a one-hot contraction (the
+            # f32 operand splits exactly into 3 bf16 terms; 0-terms exact)
+            return jax.lax.dot(
+                oh, scene.mat_row, precision=jax.lax.Precision.HIGH
+            )
+        return scene.mat_row[mid]
+
+    def mcol(row, nm):
+        a, b = _mat_offs[nm]
+        return row[..., a] if b == a + 1 else row[..., a:b]
+
+    def micol(row, nm):
+        return mcol(row, nm).astype(jnp.int32)
+
     # Texture sampling + stochastic cutout transparency compile in only for
     # scenes that bind textures / declare cutout opacity (config static flags;
     # reference: MDL texture runtime + __anyhit__radiance_cutout,
@@ -172,35 +209,38 @@ def trace_wavefront(
     if has_measured:
         from ..ops import mbsdf as MB
 
-    def interp_uv(prim, bu, bv):
-        """Material-placed texcoord at a triangle hit (one packed gather)."""
-        wb = 1.0 - bu - bv
-        uvp = scene.tri_uvpack[prim]                     # [N, 6]
-        uv = (
-            wb[..., None] * uvp[..., 0:2]
-            + bu[..., None] * uvp[..., 2:4]
-            + bv[..., None] * uvp[..., 4:6]
-        )
-        return apply_uv_transform(uv, scene.mat_uv_xf[scene.tri_material[prim]])
-
     def cutout_opacity_at(prim, bu, bv):
-        """cutout_opacity (scalar x texture mono average) at a hit."""
-        m2 = scene.tri_material[prim]
-        rgba = sample_bilinear(
-            scene.atlas, scene.mat_cutout_tex[m2], interp_uv(prim, bu, bv)
+        """cutout_opacity (scalar x texture mono average) at a hit — one
+        tri_shade row gather + one material row fetch (shadow-hop path)."""
+        tsr2 = scene.tri_shade[prim]
+        uvp2 = tsr2[..., 18:24]
+        m2 = jax.lax.bitcast_convert_type(tsr2[..., 24:26], jnp.int32)[..., 0]
+        row2 = fetch_mat_row(m2)
+        wb = 1.0 - bu - bv
+        uv = (
+            wb[..., None] * uvp2[..., 0:2]
+            + bu[..., None] * uvp2[..., 2:4]
+            + bv[..., None] * uvp2[..., 4:6]
         )
-        return scene.mat_cutout_opacity[m2] * jnp.mean(rgba[..., :3], axis=-1)
+        uv = apply_uv_transform(uv, mcol(row2, "uv_xf"))
+        rgba = sample_bilinear(scene.atlas, micol(row2, "cutout_tex"), uv)
+        return mcol(row2, "cutout_opacity") * jnp.mean(rgba[..., :3], axis=-1)
 
     # textured mesh-light EDFs sampled by NEE (hit.cu:1545-1651)
     nee_tex_ctx = None
     if has_tex and num_lights:
         l_mid = jnp.maximum(scene.lights.material_id, 0)
+        l_tex = jnp.where(
+            scene.lights.material_id >= 0, scene.mat_emission_tex[l_mid], -1
+        )
+        # ONE [L, 7] row (tex id as f32 | uv transform) — the sampler pays
+        # a single gather for the textured-EDF context (round 4)
         nee_tex_ctx = (
             scene.atlas,
-            jnp.where(
-                scene.lights.material_id >= 0, scene.mat_emission_tex[l_mid], -1
+            jnp.concatenate(
+                [l_tex.astype(jnp.float32)[:, None], scene.mat_uv_xf[l_mid]],
+                axis=-1,
             ),
-            scene.mat_uv_xf[l_mid],
         )
 
     if unbiased is None:
@@ -261,10 +301,7 @@ def trace_wavefront(
         has_rec = s.rec_count > 0
         slot = jnp.maximum(s.rec_count - 1, 0)
         m = mask & has_rec & ~s.full
-        upd = s.rec_target.at[rows, slot].add(
-            jnp.where(m[..., None], amount, 0.0)
-        )
-        return s._replace(rec_target=upd)
+        return s._replace(rec_target=add1(s.rec_target, slot, amount, m))
 
     def bounce(s: _State, first: bool, depth_val):
         """One wavefront bounce. ``first`` is static (threshold vs spread
@@ -286,8 +323,8 @@ def trace_wavefront(
         # a channel-importance-sampled free-flight distance)
         in_walk = jnp.zeros((n,), bool)
         if has_volumes:
-            top_sa = s.sigma_a_stack[rows, s.stack_idx]
-            top_ss = s.sigma_s_stack[rows, s.stack_idx]
+            top_sa = pick1(s.sigma_a_stack, s.stack_idx)
+            top_ss = pick1(s.sigma_s_stack, s.stack_idx)
             sigma_t = top_sa + top_ss
             scattering = (s.stack_idx > 0) & (jnp.max(top_ss, axis=-1) > 0.0)
             in_walk = scattering & active
@@ -329,18 +366,23 @@ def trace_wavefront(
         tri = jnp.maximum(hit.prim, 0)
         w_bary = 1.0 - hit.u - hit.v
         p_hit = s.pos + hit.t[..., None] * s.wi
-        # one packed row gather per table (tri edges, tri normals, tri meta,
-        # material row) — TPU gathers are per-row latency-bound, so this is
-        # ~6x fewer round trips than per-field gathers
-        _, e1, e2 = scene.tris.gather_rows(tri)
+        # ONE tri_shade row gather for ALL the hit's triangle-side inputs
+        # (geometry edges, shading normals, texcoords, meta); round 3 paid
+        # 3-4 same-index gathers here at ~15 ns/index each
+        tsr = scene.tri_shade[tri]                       # [N, 26]
+        e1 = tsr[..., 3:6]
+        e2 = tsr[..., 6:9]
         ng = normalize(jnp.cross(e1, e2))
-        tsh = scene.tri_pack[tri]                        # [N, 9]
+        tsh = tsr[..., 9:18]
         ns = normalize(
             w_bary[..., None] * tsh[..., 0:3]
             + hit.u[..., None] * tsh[..., 3:6]
             + hit.v[..., None] * tsh[..., 6:9]
         )
-        tmeta = scene.tri_meta[tri]                      # [N, 2] i32
+        uvp_hit = tsr[..., 18:24]                        # uv0 | uv1 | uv2
+        tmeta = jax.lax.bitcast_convert_type(
+            tsr[..., 24:26], jnp.int32
+        )                                                # [N, 2] i32
         mid = tmeta[..., 0]
         tri_light_id = tmeta[..., 1]
         if has_curves:
@@ -355,19 +397,30 @@ def trace_wavefront(
         # 1 - opacity: the lane keeps its direction/throughput/MIS state and
         # re-traces from the hit point next bounce (the wavefront equivalent
         # of optixIgnoreIntersection in the anyhit program).
-        matf = scene.mat_pack[mid]                       # [N, 9]
-        mati = scene.mat_meta[mid]                       # [N, 2] i32
-        albedo = matf[..., 0:3]
+        mrow = fetch_mat_row(mid)                        # [N, W] ONE fetch
+        albedo = mcol(mrow, "albedo")
         passthrough = jnp.zeros((n,), bool)
         if has_tex or has_cutout:
-            uv_hit = interp_uv(tri, hit.u, hit.v)
+            # texcoord from the already-gathered tri_shade row + the
+            # material row's uv transform (no extra gathers)
+            uv_raw = (
+                w_bary[..., None] * uvp_hit[..., 0:2]
+                + hit.u[..., None] * uvp_hit[..., 2:4]
+                + hit.v[..., None] * uvp_hit[..., 4:6]
+            )
+            uv_hit = apply_uv_transform(uv_raw, mcol(mrow, "uv_xf"))
         if has_tex:
             tex_rgb = sample_bilinear(
-                scene.atlas, scene.mat_albedo_tex[mid], uv_hit
+                scene.atlas, micol(mrow, "albedo_tex"), uv_hit
             )[..., :3]
             albedo = albedo * jnp.where(is_curve[..., None], 1.0, tex_rgb)
         if has_cutout:
-            opacity = cutout_opacity_at(tri, hit.u, hit.v)
+            rgba_cut = sample_bilinear(
+                scene.atlas, micol(mrow, "cutout_tex"), uv_hit
+            )
+            opacity = mcol(mrow, "cutout_opacity") * jnp.mean(
+                rgba_cut[..., :3], axis=-1
+            )
             seed, u_cut = R.rng(seed)
             passthrough = hit_valid & ~is_curve & (u_cut >= opacity)
             hit_valid = hit_valid & ~passthrough
@@ -376,31 +429,34 @@ def trace_wavefront(
         # area-spread distances must include it (hit.cu:536,569)
         t_eff = hit.t + s.pass_dist if has_cutout else hit.t
 
+        ior_m = mcol(mrow, "ior")
+        thin_m = micol(mrow, "thin_walled")
         params = B.MaterialParams(
-            archetype=mati[..., 0],
+            archetype=micol(mrow, "archetype"),
             albedo=albedo,
-            roughness=matf[..., 3:5],
-            ior=matf[..., 5],
-            thin_walled=mati[..., 1],
+            roughness=mcol(mrow, "roughness"),
+            ior=ior_m,
+            thin_walled=thin_m,
         )
         if has_layered:
             params2 = B.MaterialParams(
-                archetype=scene.mat_archetype2[mid],
-                albedo=scene.mat_albedo2[mid],
-                roughness=scene.mat_roughness2[mid],
-                ior=matf[..., 5],
-                thin_walled=mati[..., 1],
+                archetype=micol(mrow, "archetype2"),
+                albedo=mcol(mrow, "albedo2"),
+                roughness=mcol(mrow, "roughness2"),
+                ior=ior_m,
+                thin_walled=thin_m,
             )
+            k_curve = scene.mat_curve.shape[1]
             bp = LY.BlendParams(
-                blend_mode=scene.mat_blend_mode[mid],
-                w1=scene.mat_blend_w1[mid],
-                w2=scene.mat_blend_w2[mid],
-                blend_ior=scene.mat_blend_ior[mid],
-                curve=scene.mat_curve[mid],
-                mod_mode=scene.mat_mod_mode[mid],
-                mod_a=scene.mat_mod_a[mid],
-                mod_b=scene.mat_mod_b[mid],
-                mod_exp=scene.mat_mod_exp[mid],
+                blend_mode=micol(mrow, "blend_mode"),
+                w1=mcol(mrow, "blend_w1"),
+                w2=mcol(mrow, "blend_w2"),
+                blend_ior=mcol(mrow, "blend_ior"),
+                curve=mcol(mrow, "curve").reshape(n, k_curve, 3),
+                mod_mode=micol(mrow, "mod_mode"),
+                mod_a=mcol(mrow, "mod_a"),
+                mod_b=mcol(mrow, "mod_b"),
+                mod_exp=mcol(mrow, "mod_exp"),
             )
         front = dot(wo, ng) >= 0.0
         flip = ~front
@@ -453,7 +509,7 @@ def trace_wavefront(
             # Henyey-Greenstein direction about the current direction
             # (raygeneration.cu:74-104)
             seed, xi_hg = R.rng2(seed)
-            g = s.bias_stack[rows, s.stack_idx]
+            g = pick1(s.bias_stack, s.stack_idx)
             iso = jnp.abs(g) < 1e-3
             sq = (1.0 - g * g) / jnp.maximum(1.0 - g + 2.0 * g * xi_hg[:, 0], 1e-12)
             g_safe = jnp.where(iso, 1.0, g)
@@ -499,10 +555,10 @@ def trace_wavefront(
         alive = s.alive & ~miss
 
         # ---- emission of hit surface (mesh lights, hit.cu:738-821) ----
-        em_rad = matf[..., 6:9]
+        em_rad = mcol(mrow, "emission_radiance")
         if has_tex:
             em_rad = em_rad * sample_bilinear(
-                scene.atlas, scene.mat_emission_tex[mid], uv_hit
+                scene.atlas, micol(mrow, "emission_tex"), uv_hit
             )[..., :3]
         light_idx = tri_light_id
         area = scene.lights.area[jnp.maximum(light_idx, 0)] if num_lights else jnp.ones_like(hit.t)
@@ -551,8 +607,8 @@ def trace_wavefront(
 
         # ---- BSDF sample ---------------------------------------------
         seed, xi = R.rng4(seed)
-        top = s.ior_stack[rows, s.stack_idx]
-        below = s.ior_stack[rows, jnp.maximum(s.stack_idx - 1, 0)]
+        top = pick1(s.ior_stack, s.stack_idx)
+        below = pick1(s.ior_stack, jnp.maximum(s.stack_idx - 1, 0))
         thin = params.thin_walled != 0
         eta_i = jnp.where(front | thin, top, params.ior)
         eta_t = jnp.where(front | thin, params.ior, below)
@@ -571,8 +627,8 @@ def trace_wavefront(
         if has_measured:
             is_measured = params.archetype == int(Archetype.MEASURED)
             nf_m = jnp.where(dot(wo, ns)[..., None] >= 0.0, ns, -ns)
-            mb_idx = jnp.maximum(scene.mat_mbsdf_index[mid], 0)
-            mb_mult = scene.mat_mbsdf_multiplier[mid]
+            mb_idx = jnp.maximum(micol(mrow, "mbsdf_index"), 0)
+            mb_mult = mcol(mrow, "mbsdf_multiplier")
             wi_m, w_m, pdf_m, trans_m, ok_m = MB.measured_sample(
                 scene.mbsdf, mb_idx, mb_mult, wo, nf_m, xi[..., :3]
             )
@@ -596,14 +652,15 @@ def trace_wavefront(
         if has_curves:
             # chiang hair BSDF on curve hits, in the fiber frame
             # (bsdf_hair.mdl; frame = tangent + per-strand azimuthal basis)
+            hair_r = mcol(mrow, "hair_roughness").reshape(n, 3, 2)
             hpar = H.HairParams(
-                sigma_a=scene.mat_hair_absorption[mid],
-                ior=matf[..., 5],
-                beta_m=scene.mat_hair_roughness[mid][..., 0],
-                beta_n=scene.mat_hair_roughness[mid][..., 1],
-                cuticle_angle=scene.mat_hair_cuticle[mid],
-                diffuse_weight=scene.mat_hair_diffuse_weight[mid],
-                diffuse_tint=scene.mat_albedo[mid] * cframe.color,
+                sigma_a=mcol(mrow, "hair_absorption"),
+                ior=ior_m,
+                beta_m=hair_r[..., 0],
+                beta_n=hair_r[..., 1],
+                cuticle_angle=mcol(mrow, "hair_cuticle"),
+                diffuse_weight=mcol(mrow, "hair_diffuse_weight"),
+                diffuse_tint=mcol(mrow, "albedo") * cframe.color,
             )
             ct, cb1, cb2 = cframe.tangent, cframe.b1, cframe.b2
 
@@ -667,13 +724,7 @@ def trace_wavefront(
                 roughness=jnp.where(is_measured[..., None], 1.0, aux.roughness),
             )
         if has_curves:
-            hair_rough = jnp.stack(
-                [
-                    scene.mat_hair_roughness[mid][..., 0, 0],
-                    scene.mat_hair_roughness[mid][..., 0, 1],
-                ],
-                axis=-1,
-            )
+            hair_rough = mcol(mrow, "hair_roughness")[..., 0:2]
             aux = B.BSDFAux(
                 albedo_diffuse=jnp.where(
                     is_hair[..., None], hpar.diffuse_tint, aux.albedo_diffuse
@@ -738,14 +789,8 @@ def trace_wavefront(
             overflow = want & (slot >= d_rec)
             do_alloc = want & (slot < d_rec)
             slot_c = jnp.minimum(slot, d_rec - 1)
-            rec_query = rec_query.at[rows, slot_c].set(
-                jnp.where(do_alloc[..., None], query_here, rec_query[rows, slot_c])
-            )
-            rec_ltp = rec_ltp.at[rows, slot_c].set(
-                jnp.where(
-                    do_alloc[..., None], sample.bsdf_over_pdf, rec_ltp[rows, slot_c]
-                )
-            )
+            rec_query = put1(rec_query, slot_c, query_here, do_alloc)
+            rec_ltp = put1(rec_ltp, slot_c, sample.bsdf_over_pdf, do_alloc)
             rec_count = rec_count + do_alloc.astype(jnp.int32)
             allocated = do_alloc
             # overflow: forced self-train end at this vertex (hit.cu:1009-1027)
@@ -859,9 +904,7 @@ def trace_wavefront(
             direct = jnp.where(ok[..., None], direct, 0.0)
             if train:
                 slot_c = jnp.minimum(jnp.maximum(rec_count - 1, 0), d_rec - 1)
-                rec_target = rec_target.at[rows, slot_c].add(
-                    jnp.where(allocated[..., None], direct, 0.0)
-                )
+                rec_target = add1(rec_target, slot_c, direct, allocated)
             add_pixel = ok & ~suffix
             radiance = radiance + jnp.where(
                 add_pixel[..., None], s.throughput * direct, 0.0
@@ -883,25 +926,17 @@ def trace_wavefront(
         new_idx = jnp.clip(
             s.stack_idx + push.astype(jnp.int32) - pop.astype(jnp.int32), 0, 3
         )
-        ior_stack = s.ior_stack.at[rows, new_idx].set(
-            jnp.where(push, params.ior, s.ior_stack[rows, new_idx])
-        )
+        ior_stack = put1(s.ior_stack, new_idx, params.ior, push)
         sigma_a_stack = s.sigma_a_stack
         sigma_s_stack = s.sigma_s_stack
         bias_stack = s.bias_stack
         if has_volumes:
-            mat_sa = scene.mat_sigma_a[mid]
-            mat_ss = scene.mat_sigma_s[mid]
-            mat_bias = scene.mat_volume_bias[mid]
-            sigma_a_stack = sigma_a_stack.at[rows, new_idx].set(
-                jnp.where(push[..., None], mat_sa, sigma_a_stack[rows, new_idx])
-            )
-            sigma_s_stack = sigma_s_stack.at[rows, new_idx].set(
-                jnp.where(push[..., None], mat_ss, sigma_s_stack[rows, new_idx])
-            )
-            bias_stack = bias_stack.at[rows, new_idx].set(
-                jnp.where(push, mat_bias, bias_stack[rows, new_idx])
-            )
+            mat_sa = mcol(mrow, "sigma_a")
+            mat_ss = mcol(mrow, "sigma_s")
+            mat_bias = mcol(mrow, "volume_bias")
+            sigma_a_stack = put1(sigma_a_stack, new_idx, mat_sa, push)
+            sigma_s_stack = put1(sigma_s_stack, new_idx, mat_ss, push)
+            bias_stack = put1(bias_stack, new_idx, mat_bias, push)
             # crossing any boundary resets the walk counter (hit.cu:523)
             walk = jnp.where(transmit, 0, walk)
 

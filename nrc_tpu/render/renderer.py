@@ -35,6 +35,12 @@ from .frame import CameraArrays, frame_step
 from .scene_device import DeviceScene, upload_scene
 
 
+def _diag_off():
+    import os
+
+    return os.environ.get("NRC_DIAG_OFF", "").split(",")
+
+
 class Renderer:
     """Single-accelerator renderer (multi-chip variant in ``parallel/``)."""
 
@@ -82,7 +88,11 @@ class Renderer:
                 np.max(scene.materials.sigma_a) + np.max(scene.materials.sigma_s)
                 > 0.0
             ),
-            has_textures=scene.materials.atlas.num_textures > 0,
+            # NRC_DIAG_OFF: comma list of transport features to compile
+            # OUT for profiling attribution (results become wrong) — e.g.
+            # NRC_DIAG_OFF=tex,cutout isolates texture-fetch cost
+            has_textures=scene.materials.atlas.num_textures > 0
+            and "tex" not in _diag_off(),
             has_layered=bool(
                 np.any(scene.materials.blend_mode != 0)
                 or np.any(scene.materials.mod_mode != 0)
@@ -90,7 +100,7 @@ class Renderer:
             has_cutout=bool(
                 np.min(scene.materials.cutout_opacity) < 1.0
                 or np.max(scene.materials.cutout_tex) >= 0
-            ),
+            ) and "cutout" not in _diag_off(),
             has_measured=bool(np.max(scene.materials.mbsdf_index) >= 0),
             # static lobe-family specialization: compile only the archetypes
             # this scene declares (both blend lobes)

@@ -38,6 +38,40 @@ def _h(x, dt=None):
     return np.ascontiguousarray(a)
 
 
+def mat_row_layout(curve_k: int):
+    """Column layout of the merged per-material shade row (``mat_row``).
+
+    Every per-material field the bounce body needs rides ONE row fetch
+    (round 4): the shade path previously issued up to ~17 separate
+    per-field gathers by the same material id per bounce, each paying the
+    TPU's ~15 ns/index gather rate (measured width-independent — see
+    BASELINE.md round-4 gather study). Integer fields are stored as f32
+    (all values << 2^24, exact round trip)."""
+    layout = [
+        ("albedo", 3), ("roughness", 2), ("ior", 1),
+        ("emission_radiance", 3),
+        ("archetype", 1), ("thin_walled", 1),
+        ("uv_xf", 6),
+        ("albedo_tex", 1), ("cutout_tex", 1), ("emission_tex", 1),
+        ("cutout_opacity", 1),
+        ("sigma_a", 3), ("sigma_s", 3), ("volume_bias", 1),
+        ("mbsdf_index", 1), ("mbsdf_multiplier", 1),
+        ("archetype2", 1), ("albedo2", 3), ("roughness2", 2),
+        ("blend_mode", 1), ("blend_w1", 3), ("blend_w2", 3),
+        ("blend_ior", 1),
+        ("mod_mode", 1), ("mod_a", 3), ("mod_b", 3), ("mod_exp", 1),
+        ("curve", 3 * curve_k),
+        ("hair_roughness", 6), ("hair_absorption", 3),
+        ("hair_cuticle", 1), ("hair_diffuse_weight", 1),
+    ]
+    offs = {}
+    o = 0
+    for nm, w in layout:
+        offs[nm] = (o, o + w)
+        o += w
+    return offs, o
+
+
 class DeviceScene(NamedTuple):
     tris: TriSoA
     n0: jnp.ndarray  # [T, 3] shading normals per vertex
@@ -57,6 +91,10 @@ class DeviceScene(NamedTuple):
     tri_meta: jnp.ndarray   # [T, 2] i32 = material | light
     mat_pack: jnp.ndarray   # [M, 9]  = albedo | roughness | ior | emission
     mat_meta: jnp.ndarray   # [M, 2] i32 = archetype | thin_walled
+    # round-4 merged rows: the bounce body's whole per-hit fetch is ONE
+    # triangle row gather + ONE material row fetch (see mat_row_layout)
+    tri_shade: jnp.ndarray  # [T, 26] = p0|e1|e2 | n0|n1|n2 | uv0..2 | meta(2, i32 bits)
+    mat_row: jnp.ndarray    # [M, mat_row_layout(K)[1]] f32
 
     # material table (SoA)
     mat_archetype: jnp.ndarray          # [M] i32
@@ -140,7 +178,34 @@ def _material_arrays(scene: Scene) -> dict:
         if mid >= 0:
             lr[li] = emission_radiance[mid]
 
+    # merged per-material shade row (mat_row_layout order; ints as f32)
+    k_curve = mt.curve.shape[1]
+    _, row_w = mat_row_layout(k_curve)
+    f32 = lambda x: np.asarray(x, np.float32).reshape(m, -1)
+    mat_row = np.concatenate(
+        [
+            f32(mt.albedo), f32(mt.roughness), f32(mt.ior),
+            f32(emission_radiance),
+            f32(mt.archetype), f32(mt.thin_walled),
+            f32(mt.uv_xf),
+            f32(mt.albedo_tex), f32(mt.cutout_tex), f32(mt.emission_tex),
+            f32(mt.cutout_opacity),
+            f32(mt.sigma_a), f32(mt.sigma_s), f32(mt.volume_bias),
+            f32(mt.mbsdf_index), f32(mt.mbsdf_multiplier),
+            f32(mt.archetype2), f32(mt.albedo2), f32(mt.roughness2),
+            f32(mt.blend_mode), f32(mt.blend_w1), f32(mt.blend_w2),
+            f32(mt.blend_ior),
+            f32(mt.mod_mode), f32(mt.mod_a), f32(mt.mod_b), f32(mt.mod_exp),
+            f32(mt.curve),
+            f32(mt.hair_roughness), f32(mt.hair_absorption),
+            f32(mt.hair_cuticle_angle), f32(mt.hair_diffuse_weight),
+        ],
+        axis=-1,
+    )
+    assert mat_row.shape[1] == row_w, (mat_row.shape, row_w)
+
     return dict(
+        mat_row=_h(mat_row),
         mat_pack=_h(
             np.concatenate(
                 [
@@ -220,7 +285,20 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
         # on the 65k-incoherent-ray / 486k-tri batch (identical hits)
         from ..ops.bvh_wide import build_wide_bvh
 
-        wide = build_wide_bvh(scene.p0, scene.p1, scene.p2)
+        # 16-wide nodes + 16-prim leaves (round-4 sweep on the demo 65k-ray
+        # batch: 73.4 / 69.8 / 67.8 / 490.9 ms for branch,leaf = 8,8 /
+        # 16,8 / 16,16 / 32,16 — identical winners): gathers cost ~15 ns
+        # per ROW regardless of width, so wider rows that halve the row
+        # count win twice (fewer steps, 40% smaller table). 32-wide falls
+        # off a cliff (the [N,32] sort/slab ops cross a fusion boundary).
+        wide = build_wide_bvh(
+            scene.p0, scene.p1, scene.p2, branch=16, leaf_size=16
+        )
+        # NOTE: split_rows_u16 (two u16 half-table gathers) measured FASTER
+        # in isolation but SLOWER inside the walk's while body (118 vs 73
+        # ms on the demo batch — the second gather defeats XLA's fusion
+        # schedule), so the f32 table stays the production layout; the
+        # split path remains available + parity-tested for future revisit.
         bvh = {k: _h(v) for k, v in wide.items()}
 
     curves = curve_bvh = None
@@ -259,6 +337,7 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
         tri_pack=None,
         tri_uvpack=None,
         tri_meta=None,
+        tri_shade=None,
         **_material_arrays(scene),
         bvh=bvh,
         curves=curves,
@@ -271,7 +350,7 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
     # device in one extra program instead of transferred — 37% of the demo
     # scene's upload bytes were those duplicates (VERDICT r3 missing #5).
     dev = device_put_packed(dev)
-    packed, tri_pack, tri_uvpack, tri_meta = _derive_packed(
+    packed, tri_pack, tri_uvpack, tri_meta, tri_shade = _derive_packed(
         dev.tris.p0, dev.tris.e1, dev.tris.e2,
         dev.n0, dev.n1, dev.n2, dev.uv0, dev.uv1, dev.uv2,
         dev.tri_material, dev.tri_light,
@@ -281,15 +360,24 @@ def upload_scene(scene: Scene, use_bvh: Optional[bool] = None) -> DeviceScene:
         tri_pack=tri_pack,
         tri_uvpack=tri_uvpack,
         tri_meta=tri_meta,
+        tri_shade=tri_shade,
     )
 
 
 @jax.jit
 def _derive_packed(p0, e1, e2, n0, n1, n2, uv0, uv1, uv2, mat, light):
-    return (
-        jnp.concatenate([p0, e1, e2], axis=-1),
-        jnp.concatenate([n0, n1, n2], axis=-1),
-        jnp.concatenate([uv0, uv1, uv2], axis=-1),
-        jnp.stack([mat, light], axis=-1),
+    packed = jnp.concatenate([p0, e1, e2], axis=-1)
+    tri_pack = jnp.concatenate([n0, n1, n2], axis=-1)
+    tri_uvpack = jnp.concatenate([uv0, uv1, uv2], axis=-1)
+    tri_meta = jnp.stack([mat, light], axis=-1)
+    # tri_shade: everything the bounce body needs per hit in ONE row —
+    # geometry | shading normals | texcoords | meta (i32 bits as f32)
+    tri_shade = jnp.concatenate(
+        [
+            packed, tri_pack, tri_uvpack,
+            jax.lax.bitcast_convert_type(tri_meta, jnp.float32),
+        ],
+        axis=-1,
     )
+    return packed, tri_pack, tri_uvpack, tri_meta, tri_shade
 

@@ -174,4 +174,30 @@ class TextureAtlas:
             "level_h": pad1(self.level_h, 1),
             "tex_level_base": pad1(self.tex_level_base, 0),
             "tex_num_levels": pad1(self.tex_num_levels, 1),
+            # QUAD atlas: each row holds the texel's own wrap-neighbor 2x2
+            # window [T(y,x)|T(y,x+1)|T(y+1,x)|T(y+1,x+1)], so a bilinear
+            # fetch is ONE row gather instead of four (TPU gathers cost
+            # ~15 ns/index regardless of width). Built HOST-side: a
+            # device-side gather-derive compiled for ~10 min on XLA:TPU
+            # (million-index gather programs compile pathologically).
+            "texels_quad": self._quad_texels(),
         }
+
+    def _quad_texels(self) -> np.ndarray:
+        t = self.texels
+        quad = np.empty((t.shape[0], 16), np.float32)
+        quad[:, 0:4] = t
+        quad[:, 4:16] = np.tile(t, 3)  # texel 0 (white) + any unowned rows
+        for off, w, h in zip(
+            self.level_offset, self.level_w, self.level_h
+        ):
+            off, w, h = int(off), int(w), int(h)
+            lv = t[off: off + w * h].reshape(h, w, 4)
+            xp = np.roll(lv, -1, axis=1)
+            yp = np.roll(lv, -1, axis=0)
+            xyp = np.roll(xp, -1, axis=0)
+            sl = slice(off, off + w * h)
+            quad[sl, 4:8] = xp.reshape(-1, 4)
+            quad[sl, 8:12] = yp.reshape(-1, 4)
+            quad[sl, 12:16] = xyp.reshape(-1, 4)
+        return quad

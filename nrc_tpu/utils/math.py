@@ -152,3 +152,45 @@ def transform_point(mat: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
 def transform_vector(mat: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     r = mat[..., :3, :3]
     return jnp.einsum("...ij,...j->...i", r, v)
+
+
+# ---------------------------------------------------------------------------
+# One-hot per-lane pick/put over a SMALL minor axis (round 4).
+#
+# ``x[rows, idx]`` / ``x.at[rows, idx].set(v)`` lower to XLA gather/scatter,
+# which on TPU run a fixed-rate per-index machine (~15 ns/index measured,
+# BASELINE.md round-4 gather study) — ~120 us per 8192-lane band EACH. For
+# a minor axis of K <= ~16 entries (medium stacks, record slots, blend
+# curve knots) a one-hot select/sum is exact (one selected term + exact
+# zeros) and pure full-width VPU math: K*[N,C] ops, ~100x cheaper.
+# ---------------------------------------------------------------------------
+
+
+def pick1(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x [N, K] or [N, K, C], idx [N] -> x[arange(N), idx] without a gather."""
+    k = x.shape[1]
+    oh = idx[:, None] == jnp.arange(k, dtype=idx.dtype)
+    if x.ndim == 3:
+        return jnp.sum(jnp.where(oh[..., None], x, 0), axis=1)
+    return jnp.sum(jnp.where(oh, x, 0), axis=1)
+
+
+def put1(x: jnp.ndarray, idx: jnp.ndarray, v: jnp.ndarray,
+         mask: jnp.ndarray) -> jnp.ndarray:
+    """x[arange(N), idx] = v where mask, without a scatter."""
+    k = x.shape[1]
+    oh = (idx[:, None] == jnp.arange(k, dtype=idx.dtype)) & mask[:, None]
+    if x.ndim == 3:
+        return jnp.where(oh[..., None], v[:, None, :], x)
+    return jnp.where(oh, v[:, None], x)
+
+
+def add1(x: jnp.ndarray, idx: jnp.ndarray, v: jnp.ndarray,
+         mask: jnp.ndarray) -> jnp.ndarray:
+    """x[arange(N), idx] += v where mask, without a scatter (exact: the
+    unselected lanes add 0.0)."""
+    k = x.shape[1]
+    oh = (idx[:, None] == jnp.arange(k, dtype=idx.dtype)) & mask[:, None]
+    if x.ndim == 3:
+        return x + jnp.where(oh[..., None], v[:, None, :], 0.0)
+    return x + jnp.where(oh, v[:, None], 0.0)

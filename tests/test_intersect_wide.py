@@ -174,3 +174,57 @@ class TestSort8:
                     np.sort(got[r, i:j]), np.sort(want[r, i:j])
                 )
                 i = j
+
+
+class TestSplitU16Rows:
+    def test_split_walk_identical_hits(self):
+        """The u16 half-table layout (bvh_wide.split_rows_u16) must produce
+        BIT-identical hits: the reconstruct is an exact bitcast round trip.
+        (Kept as a capability: faster gathers in isolation, slower inside
+        the walk's while body on TPU — see scene_device.upload_scene.)"""
+        from nrc_tpu.ops.bvh_wide import build_wide_bvh, split_rows_u16
+        from nrc_tpu.ops.intersect_wide import _chunked_wide
+
+        rng = np.random.default_rng(11)
+        t0 = rng.random((3000, 3), dtype=np.float32) * 4 - 2
+        p0 = t0
+        p1 = t0 + rng.random((3000, 3), dtype=np.float32) * 0.3
+        p2 = t0 + rng.random((3000, 3), dtype=np.float32) * 0.3
+        wide = build_wide_bvh(p0, p1, p2)
+        split = dict(wide)
+        split.update(split_rows_u16(split.pop("rows")))
+        org = rng.random((256, 3), dtype=np.float32) * 4 - 2
+        d = rng.normal(size=(256, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        tmin = jnp.full((256,), 1e-4)
+        tmax = jnp.full((256,), 3.0e38)
+        a = _chunked_wide(jnp.asarray(org), jnp.asarray(d), 
+                          {k: jnp.asarray(v) for k, v in wide.items()},
+                          tmin, tmax, any_hit=False)
+        b = _chunked_wide(jnp.asarray(org), jnp.asarray(d),
+                          {k: jnp.asarray(v) for k, v in split.items()},
+                          tmin, tmax, any_hit=False)
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+class TestBranch16:
+    @pytest.mark.parametrize("branch,leaf", [(16, 8), (16, 16)])
+    def test_matches_bruteforce(self, branch, leaf):
+        """Branch-generic walk (round 4): 16-wide nodes halve tree depth —
+        fewer row gathers per ray at the same ~15 ns/index gather rate."""
+        p0, p1, p2 = _soup(5000, seed=21)
+        tris = TriSoA.build(p0, p1, p2)
+        wb = jax.tree.map(
+            jnp.asarray, build_wide_bvh(p0, p1, p2, branch=branch,
+                                        leaf_size=leaf)
+        )
+        org, d = _rays(2000, seed=22)
+        tmin = jnp.zeros(2000)
+        tmax = jnp.full((2000,), RT_MAX)
+        a = intersect_wbvh(org, d, wb, tris, tmin, tmax)
+        b = intersect_bruteforce(org, d, tris, tmin, tmax)
+        _assert_same_hits(a.prim, a.t, b.prim, b.t)
+        oa = occluded_wbvh(org, d, wb, tris, jnp.full((2000,), 1e-3), tmax)
+        ob = occluded_bruteforce(org, d, tris, jnp.full((2000,), 1e-3), tmax)
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))

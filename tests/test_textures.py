@@ -237,3 +237,53 @@ class TestTexturedRender:
         assert abs(m_nee - m_brute) / max(m_brute, 1e-9) < 0.25, (
             f"NEE {m_nee} vs brute {m_brute}"
         )
+
+
+class TestQuadAtlas:
+    def test_quad_path_matches_four_corner_path(self):
+        """The one-gather quad-row bilinear (production upload path) must be
+        BIT-identical to the 4-corner fetch: the quad rows store exactly the
+        wrap-neighbor texels the corner math addresses."""
+        import jax
+        from nrc_tpu.scene.texture import TextureAtlas
+        from nrc_tpu.ops.texture import sample_bilinear
+
+        rng = np.random.default_rng(4)
+        atlas = TextureAtlas.empty()
+        # hand-append two textures with mips (odd sizes exercise wrap)
+        import nrc_tpu.scene.texture as ST
+
+        for w, h in ((7, 5), (16, 16)):
+            img = rng.random((h, w, 4)).astype(np.float32)
+            chain = ST.build_mip_chain(img)
+            base = atlas.level_offset.shape[0]
+            offs, ws, hs = [], [], []
+            off = atlas.texels.shape[0]
+            blocks = []
+            for lvl in chain:
+                lh, lw, _ = lvl.shape
+                offs.append(off); ws.append(lw); hs.append(lh)
+                blocks.append(lvl.reshape(-1, 4))
+                off += lh * lw
+            atlas.texels = np.concatenate([atlas.texels] + blocks)
+            atlas.level_offset = np.concatenate(
+                [atlas.level_offset, np.asarray(offs, np.int32)])
+            atlas.level_w = np.concatenate(
+                [atlas.level_w, np.asarray(ws, np.int32)])
+            atlas.level_h = np.concatenate(
+                [atlas.level_h, np.asarray(hs, np.int32)])
+            atlas.tex_level_base = np.concatenate(
+                [atlas.tex_level_base, np.asarray([base], np.int32)])
+            atlas.tex_num_levels = np.concatenate(
+                [atlas.tex_num_levels, np.asarray([len(chain)], np.int32)])
+
+        quad = atlas.device_arrays()            # has texels_quad
+        host = {k: v for k, v in quad.items() if k != "texels_quad"}
+        n = 512
+        tex_id = jnp.asarray(rng.integers(-1, 2, n), jnp.int32)
+        uv = jnp.asarray(rng.random((n, 2)) * 3.0 - 1.0)  # wraps both ways
+        lod = jnp.asarray(rng.integers(0, 4, n), jnp.int32)
+        for l in (None, lod):
+            a = np.asarray(sample_bilinear(host, tex_id, uv, l))
+            b = np.asarray(sample_bilinear(quad, tex_id, uv, l))
+            np.testing.assert_array_equal(a, b)

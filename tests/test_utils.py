@@ -188,3 +188,35 @@ class TestDevicePutPacked:
 
         out = device_put_packed({"x": np.asarray([1.5, 2.5])})
         assert str(out["x"].dtype) == "float32"
+
+
+class TestOneHotPickPut:
+    def test_matches_gather_scatter(self):
+        from nrc_tpu.utils.math import add1, pick1, put1
+
+        rng = np.random.default_rng(5)
+        n, k, c = 257, 4, 3
+        x2 = jnp.asarray(rng.random((n, k)).astype(np.float32))
+        x3 = jnp.asarray(rng.random((n, k, c)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, k, n), jnp.int32)
+        rows = np.arange(n)
+        np.testing.assert_array_equal(
+            np.asarray(pick1(x2, idx)), np.asarray(x2)[rows, np.asarray(idx)]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pick1(x3, idx)), np.asarray(x3)[rows, np.asarray(idx)]
+        )
+        v2 = jnp.asarray(rng.random(n).astype(np.float32))
+        v3 = jnp.asarray(rng.random((n, c)).astype(np.float32))
+        m = jnp.asarray(rng.random(n) < 0.5)
+        want2 = np.asarray(x2).copy()
+        want2[rows[np.asarray(m)], np.asarray(idx)[np.asarray(m)]] = np.asarray(v2)[np.asarray(m)]
+        np.testing.assert_array_equal(np.asarray(put1(x2, idx, v2, m)), want2)
+        want3 = np.asarray(x3).copy()
+        want3[rows[np.asarray(m)], np.asarray(idx)[np.asarray(m)]] = np.asarray(v3)[np.asarray(m)]
+        np.testing.assert_array_equal(np.asarray(put1(x3, idx, v3, m)), want3)
+        wadd = np.asarray(x3).copy()
+        wadd[rows[np.asarray(m)], np.asarray(idx)[np.asarray(m)]] += np.asarray(v3)[np.asarray(m)]
+        np.testing.assert_allclose(
+            np.asarray(add1(x3, idx, v3, m)), wadd, rtol=0, atol=0
+        )
