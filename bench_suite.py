@@ -106,6 +106,18 @@ def case_demo(spp):
     )
 
 
+def case_demo_shipped(spp):
+    """The shipped demo config's own resolution (data/system_mdl_demo.txt:
+    resolution 1280 360) — the closest apples-to-apples row vs the
+    reference's interactive hero claim (README.md:5-6)."""
+    return _frame_case(
+        "demo_1p39M_shipped_1280x360",
+        "/root/reference/data/system_mdl_demo.txt",
+        "/root/reference/data/scene_mdl_demo.txt", max(spp // 4, 2),
+        res=(1280, 360), tile=(16, 16),
+    )
+
+
 def case_demo_720(spp):
     _frame_case(
         "demo_1p39M_720p",
@@ -228,6 +240,7 @@ CASES = {
     "vmaterials": case_vmaterials,
     "demo": case_demo,
     "demo720": case_demo_720,
+    "demo_shipped": case_demo_shipped,
     "hair": case_hair,
     "mlp": case_mlp,
     "quality": case_quality,

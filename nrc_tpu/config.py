@@ -256,6 +256,10 @@ class FrameConfig:
     # Measured BSDFs (df::measured_bsdf) — compiled in only when a material
     # binds a measurement.
     has_measured: bool = False
+    # procedural noise tints compiled in (ops/noise.py); octave count is
+    # the scene max (static so the fBm loop unrolls once)
+    has_noise: bool = False
+    noise_levels_static: int = 3
     # Per-scene position normalization applied to radiance-query positions.
     # The reference hardcodes 0.005 for Cornell (``hit.cu:595-597``).
     position_scale: float = 0.005

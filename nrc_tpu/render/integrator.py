@@ -399,6 +399,35 @@ def trace_wavefront(
         # of optixIgnoreIntersection in the anyhit program).
         mrow = fetch_mat_row(mid)                        # [N, W] ONE fetch
         albedo = mcol(mrow, "albedo")
+        albedo2_val = mcol(mrow, "albedo2") if has_layered else None
+        if cfg.has_noise:
+            # procedural noise tint at the WORLD hit position
+            # (base::perlin/flow/worley_noise_texture driving the diffuse
+            # tint — noise_*_glossy.mdl; ops/noise.py, shade-time VPU
+            # math); noise_target routes it to the lobe whose diffuse the
+            # MDL graph tinted (the shipped materials: base of a
+            # fresnel/weighted layer = lobe 2)
+            from ..ops import noise as NZ
+
+            nz_mode = micol(mrow, "noise_mode")
+            nz_tgt = micol(mrow, "noise_target")
+            nz_tint = NZ.noise_tint(
+                nz_mode, p_hit,
+                mcol(mrow, "noise_color1"), mcol(mrow, "noise_color2"),
+                mcol(mrow, "noise_scale"), cfg.noise_levels_static,
+                micol(mrow, "noise_absolute"),
+                mcol(mrow, "noise_thr")[..., 0],
+                mcol(mrow, "noise_thr")[..., 1],
+                micol(mrow, "noise_marble"),
+            )
+            albedo = jnp.where(
+                ((nz_mode > 0) & (nz_tgt == 0))[..., None], nz_tint, albedo
+            )
+            if albedo2_val is not None:
+                albedo2_val = jnp.where(
+                    ((nz_mode > 0) & (nz_tgt == 1))[..., None],
+                    nz_tint, albedo2_val,
+                )
         passthrough = jnp.zeros((n,), bool)
         if has_tex or has_cutout:
             # texcoord from the already-gathered tri_shade row + the
@@ -441,7 +470,7 @@ def trace_wavefront(
         if has_layered:
             params2 = B.MaterialParams(
                 archetype=micol(mrow, "archetype2"),
-                albedo=mcol(mrow, "albedo2"),
+                albedo=albedo2_val,
                 roughness=mcol(mrow, "roughness2"),
                 ior=ior_m,
                 thin_walled=thin_m,

@@ -102,6 +102,11 @@ class Renderer:
                 or np.max(scene.materials.cutout_tex) >= 0
             ) and "cutout" not in _diag_off(),
             has_measured=bool(np.max(scene.materials.mbsdf_index) >= 0),
+            has_noise=bool(np.max(scene.materials.noise_mode) > 0)
+            and "noise" not in _diag_off(),
+            noise_levels_static=int(
+                np.max(scene.materials.noise_levels, initial=1)
+            ),
             # static lobe-family specialization: compile only the archetypes
             # this scene declares (both blend lobes)
             archetype_set=frozenset(

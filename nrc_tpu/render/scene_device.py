@@ -63,6 +63,9 @@ def mat_row_layout(curve_k: int):
         ("curve", 3 * curve_k),
         ("hair_roughness", 6), ("hair_absorption", 3),
         ("hair_cuticle", 1), ("hair_diffuse_weight", 1),
+        ("noise_mode", 1), ("noise_color1", 3), ("noise_color2", 3),
+        ("noise_scale", 3), ("noise_levels", 1), ("noise_absolute", 1),
+        ("noise_thr", 2), ("noise_marble", 1), ("noise_target", 1),
     ]
     offs = {}
     o = 0
@@ -199,6 +202,10 @@ def _material_arrays(scene: Scene) -> dict:
             f32(mt.curve),
             f32(mt.hair_roughness), f32(mt.hair_absorption),
             f32(mt.hair_cuticle_angle), f32(mt.hair_diffuse_weight),
+            f32(mt.noise_mode), f32(mt.noise_color1), f32(mt.noise_color2),
+            f32(mt.noise_scale), f32(mt.noise_levels),
+            f32(mt.noise_absolute), f32(mt.noise_thr), f32(mt.noise_marble),
+            f32(mt.noise_target),
         ],
         axis=-1,
     )

@@ -105,6 +105,19 @@ class Material:
     mod_a: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     mod_b: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     mod_exp: float = 1.0
+    # procedural noise tint (MDL base::perlin/flow/worley_noise_texture
+    # driving a diffuse tint, data/mdl/noise_*_glossy.mdl): evaluated at
+    # shade time in world space (ops/noise.py). 0 = none.
+    noise_mode: int = 0              # ops.noise.NOISE_*
+    noise_color1: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    noise_color2: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    noise_scale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    noise_levels: int = 3
+    noise_absolute: bool = False
+    noise_thr_low: float = 0.0
+    noise_thr_high: float = 1.0
+    noise_marble: bool = False
+    noise_target: int = 0            # 0 = lobe-1 albedo, 1 = lobe-2 (base)
 
     @property
     def is_emissive(self) -> bool:
@@ -155,6 +168,16 @@ class MaterialTable:
     mbsdf_index: np.ndarray = None       # [M] int32 (-1 = none)
     mbsdf_multiplier: np.ndarray = None  # [M] f32
     mbsdf: object = None                 # scene.mbsdf.MBSDFTableHost
+    # procedural noise tint rows (ops/noise.py)
+    noise_mode: np.ndarray = None        # [M] int32
+    noise_color1: np.ndarray = None      # [M, 3]
+    noise_color2: np.ndarray = None      # [M, 3]
+    noise_scale: np.ndarray = None       # [M, 3]
+    noise_levels: np.ndarray = None      # [M] int32
+    noise_absolute: np.ndarray = None    # [M] int32
+    noise_thr: np.ndarray = None         # [M, 2] low/high
+    noise_marble: np.ndarray = None      # [M] int32
+    noise_target: np.ndarray = None      # [M] int32
 
     @staticmethod
     def build(materials: list[Material], atlas=None) -> "MaterialTable":
@@ -219,6 +242,17 @@ class MaterialTable:
         )
 
         return MaterialTable(
+            noise_mode=np.asarray([m.noise_mode for m in materials], np.int32),
+            noise_color1=np.asarray([m.noise_color1 for m in materials], np.float32),
+            noise_color2=np.asarray([m.noise_color2 for m in materials], np.float32),
+            noise_scale=np.asarray([m.noise_scale for m in materials], np.float32),
+            noise_levels=np.asarray([m.noise_levels for m in materials], np.int32),
+            noise_absolute=np.asarray([int(m.noise_absolute) for m in materials], np.int32),
+            noise_thr=np.asarray(
+                [(m.noise_thr_low, m.noise_thr_high) for m in materials], np.float32
+            ),
+            noise_marble=np.asarray([int(m.noise_marble) for m in materials], np.int32),
+            noise_target=np.asarray([m.noise_target for m in materials], np.int32),
             mbsdf_index=mbsdf_index,
             mbsdf_multiplier=np.asarray(
                 [m.mbsdf_multiplier for m in materials], np.float32

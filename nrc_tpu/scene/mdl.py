@@ -20,7 +20,7 @@ import numpy as np
 
 from .materials import Archetype, EmissionMode, Material
 
-_NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
+_NUM = r"[-+]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][-+]?\d+)?"
 
 
 def _parse_params(text: str) -> Dict[str, object]:
@@ -430,6 +430,55 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
             mat.uv_translation = (trans[0], trans[1])
             mat.uv_scale = (scale[0], scale[1])
 
+    # --- procedural noise tint (base::perlin/flow/worley_noise_texture
+    # feeding a diffuse tint — data/mdl/noise_*_glossy.mdl; the reference
+    # JIT-compiles the MDL base module's noise, we evaluate an equivalent
+    # field at shade time in ops/noise.py). The *_noise_bump_texture
+    # geometry normal remains a gap (PARITY.md).
+    nz = re.search(r"base::(perlin|flow|worley)_noise_texture\s*\(", text)
+    if nz:
+        from ..ops.noise import NOISE_FLOW, NOISE_PERLIN, NOISE_WORLEY
+
+        nargs, _ = _balanced(text, nz.end() - 1)
+
+        def narg(key, default=""):
+            mm = re.search(rf"{key}\s*:\s*([^,\n]+)", nargs)
+            return mm.group(1).strip() if mm else default
+
+        mat.noise_mode = {
+            "perlin": NOISE_PERLIN, "flow": NOISE_FLOW,
+            "worley": NOISE_WORLEY,
+        }[nz.group(1)]
+        mat.noise_color1 = _resolve_color(narg("color1", "color(0)"), params)
+        mat.noise_color2 = _resolve_color(narg("color2", "color(1)"), params)
+        lv = narg("noise_levels") or narg("levels")
+        mat.noise_levels = int(_resolve_float(lv, params, 3.0))
+        ab = narg("absolute_noise", "false")
+        mat.noise_absolute = (
+            ab == "true" or bool(params.get(ab, False) is True)
+        )
+        mat.noise_thr_low = _resolve_float(
+            narg("noise_threshold_low", "0"), params, 0.0
+        )
+        mat.noise_thr_high = _resolve_float(
+            narg("noise_threshold_high", "1"), params, 1.0
+        )
+        mb = narg("apply_marble", "false")
+        mat.noise_marble = (
+            mb == "true" or bool(params.get(mb, False) is True)
+        )
+        rts_n = re.search(
+            r"rotation_translation_scale\(\s*rotation:[^,]+,"
+            r"\s*translation:[^,]+,\s*scaling:\s*(\w+)",
+            nargs,
+        ) or re.search(
+            r"rotation_translation_scale\(\s*rotation:[^,]+,"
+            r"\s*translation:[^,]+,\s*scaling:\s*(\w+)",
+            text,
+        )
+        if rts_n:
+            mat.noise_scale = _float3(rts_n.group(1), (1.0, 1.0, 1.0))
+
     # hair BSDF (material(hair: df::chiang_hair_bsdf(...)))
     hm = re.search(r"hair\s*:\s*df::chiang_hair_bsdf\s*\(([^;]*)\)", text, re.S)
     if hm:
@@ -620,6 +669,16 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
         m = None
     if m:
         mat.cutout_opacity = _resolve_float(m.group(1), params, 1.0)
+
+    # procedural noise tint target: the shipped noise materials put the
+    # noisy diffuse in the BASE of a fresnel/weighted layer — after the
+    # combinator parse, lobe 2 holds that diffuse, so route the tint there
+    if (
+        mat.noise_mode
+        and mat.archetype2 == Archetype.DIFFUSE_REFLECTION
+        and mat.archetype != Archetype.DIFFUSE_REFLECTION
+    ):
+        mat.noise_target = 1
 
     return mat
 
