@@ -208,6 +208,26 @@ def relative_l2_luminance(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray
     return jnp.mean((pred - target) ** 2 / denom[..., None])
 
 
+def _use_fused_train() -> bool:
+    """Fused Pallas train kernel gate (NRC_FUSED_TRAIN=1 + TPU backend).
+
+    Default OFF: the one-kernel fwd+loss+bwd (fused_train_grad) measured
+    71.7 Msamples/s at its VMEM-limited tile (2048; 4096 OOMs scoped
+    vmem) vs the XLA chain's 141 at B=16384 — Mosaic's schedule for this
+    64-wide 6-matmul shape loses to XLA on v5e across every variant tried
+    (fwd-only kernel, bf16 activations, tile sweep). Kept as an opt-in
+    capability with a grad-parity test; see BASELINE.md round-4 MFU
+    roofline note."""
+    import os
+
+    if os.environ.get("NRC_FUSED_TRAIN", "0") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def train_step(
     state: NetworkState,
     query: jnp.ndarray,   # [B, 15]
@@ -232,21 +252,44 @@ def train_step(
     """
     lr = cfg.learning_rate if learning_rate is None else learning_rate
 
-    def loss_fn(params, grid):
-        x = encode(query, cfg, grid)
-        pred = mlp_forward(params, x, output_relu=False)
-        loss = relative_l2_luminance(pred, target)
+    if (
+        cfg.encoding == InputEncoding.FREQUENCY
+        and _use_fused_train()
+        and _mlp_forward_impl is None
+    ):
+        # ONE-kernel fwd + loss-grad + bwd with activations resident in
+        # VMEM (ops/mlp_pallas.py::fused_train_grad — the tcnn fully-fused
+        # training trick; the XLA chain round-trips activations through
+        # HBM between six small matmuls). Frequency path only: the encode
+        # has no trainable params, so no dX is needed.
+        from ..ops.mlp_pallas import fused_train_grad
+
+        x = encode(query, cfg, None)
+        loss, dwin, dwh, dwout = fused_train_grad(
+            state.params.w_in, state.params.w_hidden, state.params.w_out,
+            x, target,
+        )
+        g_params = MLPParams(w_in=dwin, w_hidden=dwh, w_out=dwout)
         if loss_scale is not None:
             loss = loss * loss_scale
-        return loss
-
-    if cfg.encoding == InputEncoding.HASH:
-        loss, (g_params, g_grid) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            state.params, state.grid
-        )
-    else:
-        loss, g_params = jax.value_and_grad(loss_fn)(state.params, None)
+            g_params = jax.tree.map(lambda g: g * loss_scale, g_params)
         g_grid = None
+    else:
+        def loss_fn(params, grid):
+            x = encode(query, cfg, grid)
+            pred = mlp_forward(params, x, output_relu=False)
+            loss = relative_l2_luminance(pred, target)
+            if loss_scale is not None:
+                loss = loss * loss_scale
+            return loss
+
+        if cfg.encoding == InputEncoding.HASH:
+            loss, (g_params, g_grid) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1)
+            )(state.params, state.grid)
+        else:
+            loss, g_params = jax.value_and_grad(loss_fn)(state.params, None)
+            g_grid = None
 
     if grad_reduce is not None:
         g_params = grad_reduce(g_params)

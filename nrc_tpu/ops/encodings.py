@@ -40,24 +40,35 @@ def triangle_wave(x: jnp.ndarray, n_frequencies: int) -> jnp.ndarray:
     """tcnn-style triangle wave over octave frequencies.
 
     x: [..., D] -> [..., D * n_frequencies]; tri_j(x) = tri(x * 2^j) with a
-    unit-period triangle wave in [0, 1].
+    unit-period triangle wave in [0, 1]. Column order d*F + j (dim-major,
+    matching the original [..., D, F] reshape — checkpoint layout).
+
+    Computed COLUMN-PLANAR: a [..., D, F] intermediate puts (D, F) on the
+    minor tile dims and wastes ~90% of every VPU op (the `_mt_hits`
+    lesson); repeating to [..., D*F] first keeps all math full-width
+    (round 4: the encode was ~40% of the cache-MLP train step).
     """
-    freqs = jnp.asarray([2.0 ** j for j in range(n_frequencies)], x.dtype)
-    xs = x[..., :, None] * freqs  # [..., D, F]
-    tri = jnp.abs(2.0 * (xs - jnp.floor(xs + 0.5)))
-    return tri.reshape(*x.shape[:-1], x.shape[-1] * n_frequencies)
+    d = x.shape[-1]
+    freqs = jnp.tile(
+        jnp.asarray([2.0 ** j for j in range(n_frequencies)], x.dtype), d
+    )
+    xs = jnp.repeat(x, n_frequencies, axis=-1) * freqs  # [..., D*F]
+    return jnp.abs(2.0 * (xs - jnp.floor(xs + 0.5)))
 
 
 def one_blob(x: jnp.ndarray, n_bins: int) -> jnp.ndarray:
     """One-blob encoding (Gaussian kernel over bin centers), domain [0, 1].
 
-    x: [..., D] -> [..., D * n_bins].
+    x: [..., D] -> [..., D * n_bins]; column order d*K + k. Column-planar
+    like ``triangle_wave`` (no small-minor-dim intermediate).
     """
-    centers = (jnp.arange(n_bins, dtype=x.dtype) + 0.5) / n_bins
+    d = x.shape[-1]
+    centers = jnp.tile(
+        (jnp.arange(n_bins, dtype=x.dtype) + 0.5) / n_bins, d
+    )
     sigma = 1.0 / n_bins
-    d = x[..., :, None] - centers  # [..., D, K]
-    blob = jnp.exp(-0.5 * (d / sigma) ** 2)
-    return blob.reshape(*x.shape[:-1], x.shape[-1] * n_bins)
+    diff = jnp.repeat(x, n_bins, axis=-1) - centers  # [..., D*K]
+    return jnp.exp(-0.5 * (diff / sigma) ** 2)
 
 
 def _normalized_blob_inputs(query: jnp.ndarray) -> jnp.ndarray:

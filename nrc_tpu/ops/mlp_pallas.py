@@ -222,3 +222,121 @@ def make_mlp_impl(interpret: bool = False):
         return out[:, :3]
 
     return impl
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused TRAIN gradient: fwd + RelativeL2Luminance grad + bwd in ONE
+# kernel (round 4). The XLA train step pays ~117 us at B=16384 (141
+# Msamples/s, 11% MFU) with activations round-tripping HBM between the six
+# small matmuls; here every activation stays in VMEM (bf16), the loss
+# gradient is formed in-kernel, and dW accumulates in f32 VMEM across grid
+# steps — the tcnn fully-fused training trick (NRCNetworkConfigs.h:26-33).
+# ---------------------------------------------------------------------------
+
+TILE_B_TRAIN = 2048
+
+
+def _train_kernel(n_hidden: int, inv_count: float, x_ref, t_ref,
+                  w_in_ref, w_h_ref, w_out_ref,
+                  loss_ref, dwin_ref, dwh_ref, dwout_ref):
+    first = pl.program_id(0) == 0
+
+    # forward, activations resident (bf16 — they are matmul inputs anyway)
+    a0 = x_ref[:]
+    z = _mm(a0, w_in_ref[:])
+    a = jnp.maximum(z, 0.0).astype(jnp.bfloat16)
+    acts = [a]
+    for i in range(n_hidden):
+        z = _mm(a, w_h_ref[i])
+        a = jnp.maximum(z, 0.0).astype(jnp.bfloat16)
+        acts.append(a)
+    pred = _mm(acts[-1], w_out_ref[:])          # [TB, OUT_PAD] f32, linear
+
+    # RelativeL2Luminance on the first 3 columns (network.py:202-208):
+    # loss = mean((p - t)^2 / (sg(lum(p))^2 + 0.01)); d/dp = 2(p-t)/denom/N
+    t = t_ref[:]
+    lum = (
+        0.299 * pred[:, 0:1] + 0.587 * pred[:, 1:2] + 0.114 * pred[:, 2:3]
+    )
+    denom = lum * lum + 0.01                    # [TB, 1]
+    col = jax.lax.broadcasted_iota(jnp.int32, pred.shape, 1)
+    valid = col < 3
+    diff = jnp.where(valid, pred - t, 0.0)
+    loss_tile = jnp.sum(diff * diff / denom) * inv_count
+    g = (2.0 * inv_count) * diff / denom        # [TB, OUT_PAD]
+
+    # backward
+    dwout = _mm_tn(acts[-1], g)
+    g = _mm(g, w_out_ref[:].T)
+    # relu' masks: Mosaic has no bf16 vector compare — compare in f32
+    g = jnp.where(acts[-1].astype(jnp.float32) > 0.0, g, 0.0)
+    dwh_list = [None] * n_hidden
+    for i in range(n_hidden - 1, -1, -1):
+        dwh_list[i] = _mm_tn(acts[i], g)
+        g = _mm(g, w_h_ref[i].T)
+        g = jnp.where(acts[i].astype(jnp.float32) > 0.0, g, 0.0)
+    dwin = _mm_tn(a0, g)
+
+    @pl.when(first)
+    def _():
+        loss_ref[0, 0] = 0.0
+        dwin_ref[:] = jnp.zeros_like(dwin_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+
+    loss_ref[0, 0] += loss_tile
+    dwin_ref[:] += dwin
+    for i in range(n_hidden):
+        dwh_ref[i] += dwh_list[i]
+    dwout_ref[:] += dwout
+
+
+@jax.jit
+def fused_train_grad(w_in, w_h, w_out, x, target):
+    """One-kernel train gradient: returns (loss, dw_in, dw_h, dw_out).
+
+    ``x`` [B, LANE] encoded+padded queries; ``target`` [B, 3]. Matches
+    ``value_and_grad(relative_l2_luminance(mlp_forward(...)))`` of the XLA
+    path to bf16-matmul tolerance (parity test in test_mlp_pallas.py).
+    Frequency-encoding path only (no dX — the encode has no params)."""
+    b = x.shape[0]
+    bp = _cdiv(b, TILE_B_TRAIN) * TILE_B_TRAIN
+    tpad = jnp.zeros((bp, OUT_PAD), jnp.float32)
+    tpad = tpad.at[:b, :3].set(target)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0)))
+    n_hidden = w_h.shape[0]
+    grid = (bp // TILE_B_TRAIN,)
+    inv_count = 1.0 / float(b * 3)
+    loss, dwin, dwh, dwout = pl.pallas_call(
+        functools.partial(_train_kernel, n_hidden, inv_count),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_B_TRAIN, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B_TRAIN, OUT_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE, WIDTH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_hidden, WIDTH, WIDTH), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WIDTH, OUT_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((LANE, WIDTH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_hidden, WIDTH, WIDTH), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WIDTH, OUT_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((LANE, WIDTH), jnp.float32),
+            jax.ShapeDtypeStruct((n_hidden, WIDTH, WIDTH), jnp.float32),
+            jax.ShapeDtypeStruct((WIDTH, OUT_PAD), jnp.float32),
+        ],
+    )(x, tpad, w_in, w_h, w_out)
+    return loss[0, 0], dwin, dwh, dwout

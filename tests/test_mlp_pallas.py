@@ -88,3 +88,40 @@ class TestFusedBackward:
             g_fused = np.asarray(jax.grad(f_fused)(x))
         denom = np.abs(g_ref).max() + 1e-8
         np.testing.assert_allclose(g_fused / denom, g_ref / denom, atol=5e-2)
+
+
+class TestFusedTrainGrad:
+    def test_matches_xla_value_and_grad(self):
+        """One-kernel fwd+loss+bwd (fused_train_grad) must match the XLA
+        path's loss and gradients to bf16-activation tolerance (the kernel
+        stores inter-layer activations in bf16; the XLA chain keeps f32)."""
+        import jax
+        import jax.numpy as jnp
+        from nrc_tpu.config import NetworkConfig
+        from nrc_tpu.models import network as N
+        from nrc_tpu.ops.mlp_pallas import fused_train_grad
+
+        cfg = NetworkConfig()
+        st = N.init_network(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        B = 512
+        q = jnp.asarray(rng.random((B, 15), np.float32))
+        t = jnp.asarray(rng.random((B, 3), np.float32))
+        x = N.encode(q, cfg, None)
+
+        def loss_fn(params):
+            pred = N.mlp_forward(params, x, output_relu=False)
+            return N.relative_l2_luminance(pred, t)
+
+        l_ref, g_ref = jax.value_and_grad(loss_fn)(st.params)
+        with pltpu.force_tpu_interpret_mode():
+            l_f, dwin, dwh, dwout = fused_train_grad(
+                st.params.w_in, st.params.w_hidden, st.params.w_out, x, t
+            )
+        np.testing.assert_allclose(float(l_f), float(l_ref), rtol=2e-3)
+        for a, b in (
+            (g_ref.w_in, dwin), (g_ref.w_hidden, dwh), (g_ref.w_out, dwout)
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(b / scale, a / scale, atol=5e-3)
