@@ -230,7 +230,7 @@ def case_quality(spp):
             "value": round(float(psnr(img, gt_t)), 2),
             "ssim": round(float(ssim(img, gt_t)), 4),
             "spp": shipped_spp, "seconds": round(dt, 1),
-            "unit": "dB vs 1024-spp NO_CACHE GT (tonemapped)",
+            "unit": "dB vs 4096-spp NO_CACHE GT (tonemapped)",
         }), flush=True)
 
 

@@ -1,8 +1,8 @@
-"""The real quality gate (VERDICT r1 #3): FULL-mode renders vs a 1024-spp
+"""The real quality gate (VERDICT r1 #3): FULL-mode renders vs a 4096-spp
 NO_CACHE ground truth at tonemapped PSNR/SSIM.
 
 Round 1 gated 48-spp-vs-48-spp at 18 dB — noise-limited and loose enough
-to pass a broken cache. This gate compares against the cached 1024-spp
+to pass a broken cache. This gate compares against the cached 4096-spp
 GT artifact (``tests/data/cornell_gt_128.npz``, generated once on TPU by
 ``tools/make_ground_truth.py``) with thresholds ~1.5-2 dB under the
 measured values at this exact config, so regressions in transport,
@@ -67,7 +67,7 @@ def _render_full(encoding, frames):
     ],
     ids=["hash", "frequency"],
 )
-def test_full_mode_quality_vs_1024spp_gt(encoding, frames, min_psnr, min_ssim):
+def test_full_mode_quality_vs_4096spp_gt(encoding, frames, min_psnr, min_ssim):
     p, s = _render_full(encoding, frames)
     assert p >= min_psnr, f"PSNR {p:.2f} dB < {min_psnr}"
     assert s >= min_ssim, f"SSIM {s:.4f} < {min_ssim}"
