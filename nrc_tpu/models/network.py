@@ -252,10 +252,13 @@ def train_step(
     """
     lr = cfg.learning_rate if learning_rate is None else learning_rate
 
+    import os as _os
+
     if (
         cfg.encoding == InputEncoding.FREQUENCY
         and _use_fused_train()
         and _mlp_forward_impl is None
+        and _os.environ.get("NRC_TRAIN_OUTPUT_RELU", "0") != "1"
     ):
         # ONE-kernel fwd + loss-grad + bwd with activations resident in
         # VMEM (ops/mlp_pallas.py::fused_train_grad — the tcnn fully-fused
@@ -277,7 +280,14 @@ def train_step(
     else:
         def loss_fn(params, grid):
             x = encode(query, cfg, grid)
-            pred = mlp_forward(params, x, output_relu=False)
+            # NRC_TRAIN_OUTPUT_RELU=1: train through the ReLU output like
+            # the reference config ("output_activation": "ReLU",
+            # NRCNetworkConfigs.h:29) — an A/B knob for the documented
+            # linear-output deviation (dying-channel risk; BASELINE.md)
+            import os as _os
+
+            _relu_out = _os.environ.get("NRC_TRAIN_OUTPUT_RELU", "0") == "1"
+            pred = mlp_forward(params, x, output_relu=_relu_out)
             loss = relative_l2_luminance(pred, target)
             if loss_scale is not None:
                 loss = loss * loss_scale

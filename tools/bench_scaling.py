@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--frames", type=int, default=6)
     ap.add_argument("--tile", type=int, default=8)
+    ap.add_argument("--log2-size", type=int, default=None,
+                    help="hash_log2_size override (e.g. 19: 16 levels x "
+                         "2^19 x 2 f32 = 64 MB of tables — the "
+                         "beyond-one-chip-HBM capability P6 exists for)")
     args = ap.parse_args()
 
     import dataclasses
@@ -76,9 +80,13 @@ def main():
         enc = InputEncoding.HASH
         results = []
         for d in shard_counts:
+            kw = {}
+            if args.log2_size is not None:
+                kw["hash_log2_size"] = args.log2_size
             net_cfg = NetworkConfig(
                 encoding=enc,
                 hash_shard_axis=DATA_AXIS if mode == "sharded_tables" else None,
+                **kw,
             )
             r = Renderer(
                 scene, system, net_cfg=net_cfg, render_mode=RenderMode.FULL,

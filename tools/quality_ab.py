@@ -21,6 +21,7 @@ Variants:
 """
 
 import argparse
+import os as _os
 import dataclasses
 import json
 import os
@@ -54,6 +55,13 @@ def run_variant(name, res):
     relfact = False
     if name == "base":
         kw["freq_domain_scale"] = 1.0
+    elif name == "relu_out":
+        os.environ["NRC_TRAIN_OUTPUT_RELU"] = "1"
+    elif name == "ref_literals":
+        kw["ema_decay"] = 0.99
+    elif name == "ref_literals_relu":
+        kw["ema_decay"] = 0.99
+        os.environ["NRC_TRAIN_OUTPUT_RELU"] = "1"
     elif name in ("domain32", "warmup", "lr3e3", "ema95", "ema95lr3", "relfact_ema95lr3"):
         kw["freq_domain_scale"] = 32.0
     elif name == "domain8":
@@ -74,7 +82,8 @@ def run_variant(name, res):
         reflectance_factoring=relfact,
     )
     base_lr = (
-        3e-3 if name in ("lr3e3", "ema95lr3", "relfact_ema95lr3", "s1_ema95lr3")
+        1e-3 if name in ("ref_literals", "ref_literals_relu")
+        else 3e-3 if name in ("lr3e3", "ema95lr3", "relfact_ema95lr3", "s1_ema95lr3")
         else net_cfg.learning_rate
     )
     t0 = time.perf_counter()
@@ -83,7 +92,8 @@ def run_variant(name, res):
             r.hyper = dataclasses.replace(
                 r.hyper, learning_rate=base_lr * min((i + 1) / 32.0, 1.0)
             )
-        elif name in ("lr3e3", "ema95lr3", "relfact_ema95lr3", "s1_ema95lr3"):
+        elif name in ("lr3e3", "ema95lr3", "relfact_ema95lr3", "s1_ema95lr3",
+                      "ref_literals", "ref_literals_relu"):
             r.hyper = dataclasses.replace(r.hyper, learning_rate=base_lr)
         r.render_frame()
     tm = system.tonemapper
