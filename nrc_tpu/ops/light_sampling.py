@@ -65,6 +65,7 @@ del _nm, _w, _o
         "material_id", "emission_radiance", "tri_start", "tri_count",
         "mesh_p0", "mesh_p1", "mesh_p2", "mesh_n0", "mesh_n1", "mesh_n2",
         "mesh_uv0", "mesh_uv1", "mesh_uv2", "mesh_row", "light_row",
+        "env_alias_pack", "env_eval_pack",
         "mesh_prob", "mesh_alias", "env_texture", "env_prob", "env_alias",
         "env_pdf", "env_cube", "ies_texture", "ies_index",
     ),
@@ -108,6 +109,10 @@ class DeviceLights:
     # fetch is ONE row gather (round 4)
     mesh_row: jnp.ndarray       # [T, 15]
     light_row: jnp.ndarray      # [L, LIGHT_ROW_W] merged per-light row
+    # merged env tables (round 4): alias pick = ONE row gather (prob |
+    # alias bits), radiance+pdf eval = ONE row gather (rgb | pdf)
+    env_alias_pack: jnp.ndarray  # [NT, 2] f32: prob | alias(raw i32 bits)
+    env_eval_pack: jnp.ndarray   # [H, W, 4] f32: rgb | pdf (equirect only)
     mesh_prob: jnp.ndarray
     mesh_alias: jnp.ndarray
     # environment (dummy 1x1 when absent)
@@ -196,6 +201,24 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
         lt.env_cube if env_is_cube else np.zeros((1, 1, 1, 3), np.float32)
     )
 
+
+    # alias indices ride as their raw i32 BITS (f32-bitcast) — exact for
+    # any table size (a value cast would corrupt indices >= 2^24, e.g.
+    # 8k equirect maps)
+    env_alias_pack = np.stack(
+        [env_prob.ravel().astype(np.float32),
+         np.ascontiguousarray(
+             env_alias.ravel().astype(np.int32)).view(np.float32)],
+        axis=-1,
+    )
+    if not env_is_cube and env_texture.ndim == 3:
+        env_eval_pack = np.concatenate(
+            [np.asarray(env_texture, np.float32),
+             np.asarray(env_pdf, np.float32)[..., None]], axis=-1
+        )
+    else:
+        env_eval_pack = np.zeros((1, 1, 4), np.float32)
+
     if lt.ies_texture is not None:
         ies_texture = lt.ies_texture
         ies_index = lt.ies_index
@@ -227,6 +250,8 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
             mesh_prob=j(mesh_prob), mesh_alias=j(mesh_alias, jnp.int32),
             env_texture=j(env_texture), env_prob=j(env_prob),
             env_alias=j(env_alias, jnp.int32), env_pdf=j(env_pdf),
+            env_alias_pack=j(env_alias_pack),
+            env_eval_pack=j(env_eval_pack),
             env_cube=j(env_cube),
             ies_texture=j(ies_texture), ies_index=j(ies_index, jnp.int32),
             types_static=(),
@@ -293,6 +318,8 @@ def upload_lights(lt: LightTable, emission_radiance: Optional[np.ndarray] = None
         env_prob=j(env_prob),
         env_alias=j(env_alias, jnp.int32),
         env_pdf=j(env_pdf),
+        env_alias_pack=j(env_alias_pack),
+        env_eval_pack=j(env_eval_pack),
         env_cube=j(env_cube),
         ies_texture=j(ies_texture),
         ies_index=j(ies_index, jnp.int32),
@@ -511,8 +538,11 @@ def sample_lights(
             nt = 6 * ch * cw
             k = jnp.minimum((xi[:, 1] * nt).astype(jnp.int32), nt - 1)
             frac = xi[:, 1] * nt - k.astype(jnp.float32)
+            ap = lights.env_alias_pack[k]          # ONE row: prob | alias
             texel = jnp.where(
-                frac < lights.env_prob[k], k, lights.env_alias[k]
+                frac < ap[..., 0],
+                jnp.asarray(k),
+                jax.lax.bitcast_convert_type(ap[..., 1], jnp.int32),
             )
             face = texel // (ch * cw)
             rem = texel - face * (ch * cw)
@@ -528,8 +558,11 @@ def sample_lights(
             nt = h * w
             k = jnp.minimum((xi[:, 1] * nt).astype(jnp.int32), nt - 1)
             frac = xi[:, 1] * nt - k.astype(jnp.float32)
+            ap = lights.env_alias_pack[k]          # ONE row: prob | alias
             texel = jnp.where(
-                frac < lights.env_prob[k], k, lights.env_alias[k]
+                frac < ap[..., 0],
+                k,
+                jax.lax.bitcast_convert_type(ap[..., 1], jnp.int32),
             )
             ty = texel // w
             tx = texel % w
@@ -544,8 +577,9 @@ def sample_lights(
             d_obj = jnp.stack(
                 [jnp.sin(phi) * st, -jnp.cos(theta), -jnp.cos(phi) * st], -1
             )
-            emis = lights.env_texture[ty, tx]
-            pdf_e = lights.env_pdf[ty, tx]
+            ev = lights.env_eval_pack[ty, tx]      # ONE row: rgb | pdf
+            emis = ev[..., 0:3]
+            pdf_e = ev[..., 3]
         dirn = jnp.einsum("nij,nj->ni", pf("ori"), d_obj)
         valid = pdf_e > DENOM_EPS
         rop = safe_div(emission * emis, pdf_e[..., None])
@@ -602,9 +636,10 @@ def env_radiance(lights: DeviceLights, direction: jnp.ndarray):
             v = jnp.arccos(jnp.clip(-r[..., 1], -1.0, 1.0)) / M_PI
             tx = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
             ty = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-            rad = lights.env_texture[ty, tx]
+            ev = lights.env_eval_pack[ty, tx]      # ONE row: rgb | pdf
+            rad = ev[..., 0:3]
             # pdf = intensity(tex) * invIntegral (miss.cu:195-198)
-            pdf = rad.mean(axis=-1) * lights.inv_integral[0]
+            pdf = ev[..., 3]
         emission = rad * lights.emission[0]
         return emission, pdf, True
     return jnp.zeros((n, 3)), jnp.zeros((n,)), False
