@@ -259,6 +259,7 @@ class FrameConfig:
     # procedural noise tints compiled in (ops/noise.py); octave count is
     # the scene max (static so the fBm loop unrolls once)
     has_noise: bool = False
+    has_noise_bump: bool = False
     noise_levels_static: int = 3
     # Per-scene position normalization applied to radiance-query positions.
     # The reference hardcodes 0.005 for Cornell (``hit.cu:595-597``).

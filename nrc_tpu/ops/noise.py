@@ -138,14 +138,9 @@ NOISE_FLOW = 2
 NOISE_WORLEY = 3
 
 
-def noise_tint(mode, pos, color1, color2, scale, levels: int,
-               absolute, thr_low, thr_high, apply_marble):
-    """MDL base::*_noise_texture color output at world position ``pos``.
-
-    mode/levels are per-lane values but the compiled variants are fixed by
-    the scene's static max level count; the select between modes is masked
-    math. Returns [N, 3] (mode 0 lanes return color1 — callers mask)."""
-    q = pos * scale
+def noise_scalar(mode, q, levels: int, absolute, thr_low, thr_high,
+                 apply_marble):
+    """Post-threshold scalar noise field in [0, 1] at pre-scaled ``q``."""
     n_per = fbm3(q, levels, False)
     n_abs = fbm3(q, levels, True)
     n_wor = worley3(q)
@@ -160,5 +155,48 @@ def noise_tint(mode, pos, color1, color2, scale, levels: int,
     # threshold window remap (noise_threshold_low/high)
     lo = thr_low
     hi = jnp.maximum(thr_high, lo + 1e-6)
-    val = jnp.clip((val - lo) / (hi - lo), 0.0, 1.0)
+    return jnp.clip((val - lo) / (hi - lo), 0.0, 1.0)
+
+
+def noise_tint(mode, pos, color1, color2, scale, levels: int,
+               absolute, thr_low, thr_high, apply_marble):
+    """MDL base::*_noise_texture color output at world position ``pos``.
+
+    mode/levels are per-lane values but the compiled variants are fixed by
+    the scene's static max level count; the select between modes is masked
+    math. Returns [N, 3] (mode 0 lanes return color1 — callers mask)."""
+    val = noise_scalar(
+        mode, pos * scale, levels, absolute, thr_low, thr_high, apply_marble
+    )
     return color1 + val[..., None] * (color2 - color1)
+
+
+def noise_bump_normal(mode, pos, ns, scale, levels: int, absolute,
+                      thr_low, thr_high, apply_marble, factor,
+                      h: float = 1e-2):
+    """MDL base::*_noise_bump_texture: perturb the shading normal by the
+    tangential gradient of the noise field (forward differences in the
+    scaled noise domain). Returns a unit normal; lanes with factor == 0
+    get ``ns`` back unchanged."""
+    q = pos * scale
+
+    def f(qq):
+        return noise_scalar(
+            mode, qq, levels, absolute, thr_low, thr_high, apply_marble
+        )
+
+    f0 = f(q)
+    ex = jnp.asarray([h, 0.0, 0.0])
+    ey = jnp.asarray([0.0, h, 0.0])
+    ez = jnp.asarray([0.0, 0.0, h])
+    g = jnp.stack(
+        [(f(q + ex) - f0) / h, (f(q + ey) - f0) / h, (f(q + ez) - f0) / h],
+        axis=-1,
+    ) * scale  # chain rule back to world units
+    # tangential component only (bump never changes the mean surface)
+    g_t = g - jnp.sum(g * ns, axis=-1, keepdims=True) * ns
+    n2 = ns - factor[..., None] * g_t
+    n2 = n2 / jnp.maximum(
+        jnp.linalg.norm(n2, axis=-1, keepdims=True), 1e-8
+    )
+    return jnp.where((factor != 0.0)[..., None], n2, ns)

@@ -137,6 +137,7 @@ def trace_wavefront(
     train: bool,
     unbiased: Optional[jnp.ndarray] = None,  # [N] bool (train wavefront)
     queue_band: Optional[int] = None,  # compacted-queue band (see below)
+    queue_mode: str = "every",  # "every" = per-depth compaction, "once"
 ) -> WavefrontOut:
     n = org.shape[0]
     d_rec = cfg.max_train_records_per_ray if train else 1
@@ -427,6 +428,20 @@ def trace_wavefront(
                 albedo2_val = jnp.where(
                     ((nz_mode > 0) & (nz_tgt == 1))[..., None],
                     nz_tint, albedo2_val,
+                )
+            if cfg.has_noise_bump:
+                # *_noise_bump_texture: shading-normal perturbation by the
+                # noise field's tangential gradient (forward differences)
+                ns = NZ.noise_bump_normal(
+                    nz_mode, p_hit, ns,
+                    mcol(mrow, "noise_scale"), cfg.noise_levels_static,
+                    micol(mrow, "noise_absolute"),
+                    mcol(mrow, "noise_thr")[..., 0],
+                    mcol(mrow, "noise_thr")[..., 1],
+                    micol(mrow, "noise_marble"),
+                    jnp.where(
+                        nz_mode > 0, mcol(mrow, "noise_bump_factor"), 0.0
+                    ),
                 )
         passthrough = jnp.zeros((n,), bool)
         if has_tex or has_cutout:
@@ -1051,7 +1066,10 @@ def trace_wavefront(
         # threads costing nothing (optixTrace divergence model). A lane's
         # transport depends only on its own state (seeds are per-lane), so
         # results match the banded layout to fp32 rounding.
-        state = _queued_depth_loop(state, bounce, cfg, queue_band)
+        if queue_mode == "once":
+            state = _queued_once_depth_loop(state, bounce, cfg, queue_band)
+        else:
+            state = _queued_depth_loop(state, bounce, cfg, queue_band)
     elif cfg.max_depth >= 1:
         import os
 
@@ -1095,6 +1113,67 @@ def trace_wavefront(
         end_query=state.end_query,
         end_mask=state.end_mask,
     )
+
+
+def _queued_once_depth_loop(state: _State, bounce, cfg: FrameConfig,
+                            band: int):
+    """COMPACT-ONCE variant of the queued depth loop: depth 1 runs full
+    width (every lane bounces at least once), then ONE stable partition
+    moves the surviving ~quarter of lanes to the front and depths >= 2 run
+    over that frozen prefix only — paying the full-state permute a single
+    time where ``_queued_depth_loop`` pays it every depth (the cost that
+    made per-depth compaction a net loss, BASELINE.md round-4 A/B).
+    Alive lanes only ever die, so the prefix stays valid."""
+    n = state.pos.shape[0]
+    assert n % band == 0, "queued wavefront must be padded to the band size"
+    ids0 = jnp.arange(n, dtype=jnp.int32)
+
+    state = bounce(state, False, jnp.int32(1))
+    if cfg.max_depth < 2:
+        return state
+
+    alive = state.alive
+    count = jnp.sum(alive.astype(jnp.int32))
+    dest = jnp.where(
+        alive,
+        jnp.cumsum(alive.astype(jnp.int32)) - 1,
+        count + jnp.cumsum((~alive).astype(jnp.int32)) - 1,
+    )
+    perm = jnp.zeros((n,), jnp.int32).at[dest].set(ids0)
+    state = jax.tree.map(lambda x: x[perm], state)
+    n_active = (count + band - 1) // band  # frozen band count
+
+    def cond(carry):
+        st, depth = carry
+        return (depth <= cfg.max_depth) & jnp.any(st.alive)
+
+    def body(carry):
+        st, depth = carry
+
+        def band_cond(c):
+            _, b = c
+            return b < n_active
+
+        def band_body(c):
+            st2, b = c
+            off = b * band
+            sl = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, off, band, 0), st2
+            )
+            sl = bounce(sl, False, depth)
+            st2 = jax.tree.map(
+                lambda x, y: jax.lax.dynamic_update_slice_in_dim(x, y, off, 0),
+                st2, sl,
+            )
+            return st2, b + 1
+
+        st, _ = jax.lax.while_loop(band_cond, band_body, (st, jnp.int32(0)))
+        return st, depth + 1
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(2)))
+    # restore input lane order
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(ids0)
+    return jax.tree.map(lambda x: x[inv], state)
 
 
 def _queued_depth_loop(state: _State, bounce, cfg: FrameConfig, band: int):
@@ -1195,9 +1274,10 @@ WAVEFRONT_QUEUE = _os.environ.get("NRC_WAVEFRONT_QUEUE", "auto")
 
 def _queue_auto(scene: DeviceScene) -> bool:
     """Default layout choice (see the measured table above): banded unless
-    the env var forces the queue."""
+    the env var forces a queue layout ("1" = per-depth compaction,
+    "once" = compact-once after depth 1)."""
     del scene
-    return WAVEFRONT_QUEUE == "1"
+    return WAVEFRONT_QUEUE in ("1", "once")
 
 
 def trace_wavefront_chunked(
@@ -1240,6 +1320,7 @@ def trace_wavefront_chunked(
         out = trace_wavefront(
             scene, org, direction, seeds, cfg, train, unbiased,
             queue_band=chunk,
+            queue_mode="once" if WAVEFRONT_QUEUE == "once" else "every",
         )
         return jax.tree.map(lambda x: x[:n], out)
 

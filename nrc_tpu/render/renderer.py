@@ -104,6 +104,9 @@ class Renderer:
             has_measured=bool(np.max(scene.materials.mbsdf_index) >= 0),
             has_noise=bool(np.max(scene.materials.noise_mode) > 0)
             and "noise" not in _diag_off(),
+            has_noise_bump=bool(
+                np.max(np.abs(scene.materials.noise_bump_factor)) > 0
+            ) and "noise" not in _diag_off(),
             noise_levels_static=int(
                 np.max(scene.materials.noise_levels, initial=1)
             ),

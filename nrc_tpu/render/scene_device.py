@@ -66,6 +66,7 @@ def mat_row_layout(curve_k: int):
         ("noise_mode", 1), ("noise_color1", 3), ("noise_color2", 3),
         ("noise_scale", 3), ("noise_levels", 1), ("noise_absolute", 1),
         ("noise_thr", 2), ("noise_marble", 1), ("noise_target", 1),
+        ("noise_bump_factor", 1),
     ]
     offs = {}
     o = 0
@@ -205,7 +206,7 @@ def _material_arrays(scene: Scene) -> dict:
             f32(mt.noise_mode), f32(mt.noise_color1), f32(mt.noise_color2),
             f32(mt.noise_scale), f32(mt.noise_levels),
             f32(mt.noise_absolute), f32(mt.noise_thr), f32(mt.noise_marble),
-            f32(mt.noise_target),
+            f32(mt.noise_target), f32(mt.noise_bump_factor),
         ],
         axis=-1,
     )

@@ -118,6 +118,7 @@ class Material:
     noise_thr_high: float = 1.0
     noise_marble: bool = False
     noise_target: int = 0            # 0 = lobe-1 albedo, 1 = lobe-2 (base)
+    noise_bump_factor: float = 0.0   # *_noise_bump_texture factor (0 = off)
 
     @property
     def is_emissive(self) -> bool:
@@ -178,6 +179,7 @@ class MaterialTable:
     noise_thr: np.ndarray = None         # [M, 2] low/high
     noise_marble: np.ndarray = None      # [M] int32
     noise_target: np.ndarray = None      # [M] int32
+    noise_bump_factor: np.ndarray = None  # [M] f32
 
     @staticmethod
     def build(materials: list[Material], atlas=None) -> "MaterialTable":
@@ -253,6 +255,9 @@ class MaterialTable:
             ),
             noise_marble=np.asarray([int(m.noise_marble) for m in materials], np.int32),
             noise_target=np.asarray([m.noise_target for m in materials], np.int32),
+            noise_bump_factor=np.asarray(
+                [m.noise_bump_factor for m in materials], np.float32
+            ),
             mbsdf_index=mbsdf_index,
             mbsdf_multiplier=np.asarray(
                 [m.mbsdf_multiplier for m in materials], np.float32

@@ -478,6 +478,14 @@ def parse_mdl_material(path: str, name: str = "") -> Material:
         )
         if rts_n:
             mat.noise_scale = _float3(rts_n.group(1), (1.0, 1.0, 1.0))
+        # geometry-normal bump (base::*_noise_bump_texture factor)
+        nb = re.search(r"_noise_bump_texture\s*\(", text)
+        if nb:
+            bargs, _ = _balanced(text, nb.end() - 1)
+            fm = re.search(r"factor\s*:\s*([^,\n)]+)", bargs)
+            mat.noise_bump_factor = _resolve_float(
+                fm.group(1), params, 1.0
+            ) if fm else 1.0
 
     # hair BSDF (material(hair: df::chiang_hair_bsdf(...)))
     hm = re.search(r"hair\s*:\s*df::chiang_hair_bsdf\s*\(([^;]*)\)", text, re.S)

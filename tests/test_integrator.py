@@ -191,12 +191,28 @@ class TestChunkedWavefront:
             dev, org, d, seeds, cfg, train=True, unbiased=unbiased,
             chunk=512,
         )
-        # the compacted-queue layout (auto-picked only for big-BVH scenes
-        # since round 4; forced here) must also match per ray
+        # the compacted-queue layouts (opt-in via NRC_WAVEFRONT_QUEUE since
+        # round 4; forced here) must also match per ray
         out_q = trace_wavefront_chunked(
             dev, org, d, seeds, cfg, train=True, unbiased=unbiased,
             chunk=512, queue=True,
         )
+        from nrc_tpu.render.integrator import trace_wavefront as _tw
+
+        out_q1 = _tw(
+            dev, org, d, seeds, cfg, train=True, unbiased=unbiased,
+            queue_band=432, queue_mode="once",  # 1296 = 3 bands, no pad
+        )
+        for name, a, c in zip(ref._fields, ref, out_q1):
+            a, c = np.asarray(a), np.asarray(c)
+            # pad to the ref's lane count (trace_wavefront pads internally?
+            # no: same n here — direct comparison)
+            if a.dtype.kind in "iub":
+                np.testing.assert_array_equal(a, c, err_msg=name + " (once)")
+            else:
+                np.testing.assert_allclose(
+                    a, c, rtol=2e-4, atol=1e-6, err_msg=name + " (once)"
+                )
         for name, a, b, c in zip(ref._fields, ref, out, out_q):
             a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
             if a.dtype.kind in "iub":

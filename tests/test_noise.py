@@ -94,3 +94,37 @@ class TestNoiseMDLParse:
         crop = img[12:36, 12:36]
         assert crop[..., 1].std() > 0.02, crop[..., 1].std()
         assert crop[..., 1].mean() > crop[..., 0].mean()
+
+
+class TestNoiseBump:
+    def test_bump_parse_and_perturbation(self):
+        from nrc_tpu.ops.noise import NOISE_PERLIN, noise_bump_normal
+
+        # shipped perlin/worley materials declare a bump (factor 2.)
+        m = load_material(REF, "mdl/noise_perlin_glossy.mdl", "x")
+        assert m.noise_bump_factor == 2.0
+        m2 = load_material(REF, "mdl/noise_worley_glossy.mdl", "x")
+        assert m2.noise_bump_factor == 2.0
+        m3 = load_material(REF, "mdl/noise_flow_glossy.mdl", "x")
+        assert m3.noise_bump_factor == 0.0  # no bump in the flow material
+
+        rng = np.random.default_rng(3)
+        n = 512
+        pos = jnp.asarray(rng.random((n, 3)) * 10.0)
+        ns = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (n, 1))
+        mode = jnp.full((n,), NOISE_PERLIN, jnp.int32)
+        args = (
+            mode, pos, ns, jnp.asarray([5.0, 5.0, 5.0]), 3,
+            jnp.zeros(n, jnp.int32), jnp.full(n, 0.0), jnp.full(n, 1.0),
+            jnp.zeros(n, jnp.int32),
+        )
+        out = np.asarray(noise_bump_normal(*args, jnp.full(n, 2.0)))
+        # unit normals, actually perturbed, varying across positions
+        np.testing.assert_allclose(
+            np.linalg.norm(out, axis=-1), 1.0, atol=1e-5
+        )
+        assert np.abs(out - np.asarray(ns)).max() > 0.05
+        assert out.std(axis=0).max() > 0.02
+        # factor 0 returns ns untouched
+        out0 = np.asarray(noise_bump_normal(*args, jnp.zeros(n)))
+        np.testing.assert_array_equal(out0, np.asarray(ns))
