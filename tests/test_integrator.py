@@ -226,11 +226,14 @@ class TestChunkedWavefront:
                     a, c, rtol=2e-4, atol=1e-6, err_msg=name + " (queue)"
                 )
 
-    def test_queue_default_is_banded(self, cornell):
-        """Default layout is banded everywhere (round-4 A/B: the queue lost
-        on every measured config once the round-3 walk landed — VERDICT r3
-        weak #1); NRC_WAVEFRONT_QUEUE=1 still forces the queued layout."""
+    def test_queue_default_policy(self, cornell):
+        """Auto layout: banded for small scenes (no wide BVH — the Cornell
+        headline, VERDICT r3 weak #1), COMPACT-ONCE for wide-BVH scenes
+        (demo 720p 4597 -> 3009 ms, round-4 A/B); env overrides force any
+        mode."""
         from nrc_tpu.render import integrator
 
         scene, system, dev = cornell
-        assert integrator._queue_auto(dev) is False
+        assert integrator._queue_mode_auto(dev) is None  # no wide BVH
+        fake = dev._replace(bvh={"rows": np.zeros((8, 8), np.float32)})
+        assert integrator._queue_mode_auto(fake) == "once"
