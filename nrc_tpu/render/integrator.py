@@ -1068,6 +1068,10 @@ def trace_wavefront(
         # results match the banded layout to fp32 rounding.
         if queue_mode == "once":
             state = _queued_once_depth_loop(state, bounce, cfg, queue_band)
+        elif queue_mode == "once2":
+            state = _queued_once_depth_loop(
+                state, bounce, cfg, queue_band, recompact_depth=4
+            )
         else:
             state = _queued_depth_loop(state, bounce, cfg, queue_band)
     elif cfg.max_depth >= 1:
@@ -1116,14 +1120,18 @@ def trace_wavefront(
 
 
 def _queued_once_depth_loop(state: _State, bounce, cfg: FrameConfig,
-                            band: int):
+                            band: int, recompact_depth: int = 0):
     """COMPACT-ONCE variant of the queued depth loop: depth 1 runs full
     width (every lane bounces at least once), then ONE stable partition
     moves the surviving ~quarter of lanes to the front and depths >= 2 run
     over that frozen prefix only — paying the full-state permute a single
     time where ``_queued_depth_loop`` pays it every depth (the cost that
     made per-depth compaction a net loss, BASELINE.md round-4 A/B).
-    Alive lanes only ever die, so the prefix stays valid."""
+    Alive lanes only ever die, so the prefix stays valid.
+
+    ``recompact_depth`` > 0 adds ONE more partition when the loop reaches
+    that depth (alive decays ~23% -> ~3% between depths 2 and 4 on the
+    demo scene, so a second squeeze shrinks the frozen prefix again)."""
     n = state.pos.shape[0]
     assert n % band == 0, "queued wavefront must be padded to the band size"
     ids0 = jnp.arange(n, dtype=jnp.int32)
@@ -1132,23 +1140,34 @@ def _queued_once_depth_loop(state: _State, bounce, cfg: FrameConfig,
     if cfg.max_depth < 2:
         return state
 
-    alive = state.alive
-    count = jnp.sum(alive.astype(jnp.int32))
-    dest = jnp.where(
-        alive,
-        jnp.cumsum(alive.astype(jnp.int32)) - 1,
-        count + jnp.cumsum((~alive).astype(jnp.int32)) - 1,
-    )
-    perm = jnp.zeros((n,), jnp.int32).at[dest].set(ids0)
-    state = jax.tree.map(lambda x: x[perm], state)
-    n_active = (count + band - 1) // band  # frozen band count
+    def compact(st, ids):
+        alive = st.alive
+        count = jnp.sum(alive.astype(jnp.int32))
+        dest = jnp.where(
+            alive,
+            jnp.cumsum(alive.astype(jnp.int32)) - 1,
+            count + jnp.cumsum((~alive).astype(jnp.int32)) - 1,
+        )
+        perm = jnp.zeros((n,), jnp.int32).at[dest].set(ids0)
+        st = jax.tree.map(lambda x: x[perm], st)
+        n_active = (count + band - 1) // band
+        return st, ids[perm], n_active
+
+    state, ids, n_active = compact(state, ids0)
 
     def cond(carry):
-        st, depth = carry
+        st, ids, n_active, depth = carry
         return (depth <= cfg.max_depth) & jnp.any(st.alive)
 
     def body(carry):
-        st, depth = carry
+        st, ids, n_active, depth = carry
+        if recompact_depth > 1:
+            st, ids, n_active = jax.lax.cond(
+                depth == recompact_depth,
+                lambda a: compact(a[0], a[1]),
+                lambda a: a,
+                (st, ids, n_active),
+            )
 
         def band_cond(c):
             _, b = c
@@ -1168,11 +1187,13 @@ def _queued_once_depth_loop(state: _State, bounce, cfg: FrameConfig,
             return st2, b + 1
 
         st, _ = jax.lax.while_loop(band_cond, band_body, (st, jnp.int32(0)))
-        return st, depth + 1
+        return st, ids, n_active, depth + 1
 
-    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(2)))
-    # restore input lane order
-    inv = jnp.zeros((n,), jnp.int32).at[perm].set(ids0)
+    state, ids, _, _ = jax.lax.while_loop(
+        cond, body, (state, ids, n_active, jnp.int32(2))
+    )
+    # restore input lane order (ids[i] = original index of lane i)
+    inv = jnp.zeros((n,), jnp.int32).at[ids].set(ids0)
     return jax.tree.map(lambda x: x[inv], state)
 
 
@@ -1279,8 +1300,8 @@ def _queue_mode_auto(scene: DeviceScene):
         return None
     if WAVEFRONT_QUEUE == "1":
         return "every"
-    if WAVEFRONT_QUEUE == "once":
-        return "once"
+    if WAVEFRONT_QUEUE in ("once", "once2"):
+        return WAVEFRONT_QUEUE
     return "once" if getattr(scene, "bvh", None) is not None else None
 
 

@@ -203,6 +203,18 @@ class TestChunkedWavefront:
             dev, org, d, seeds, cfg, train=True, unbiased=unbiased,
             queue_band=432, queue_mode="once",  # 1296 = 3 bands, no pad
         )
+        out_q2 = _tw(
+            dev, org, d, seeds, cfg, train=True, unbiased=unbiased,
+            queue_band=432, queue_mode="once2",  # + recompaction at depth 4
+        )
+        for name, a, c in zip(ref._fields, ref, out_q2):
+            a, c = np.asarray(a), np.asarray(c)
+            if a.dtype.kind in "iub":
+                np.testing.assert_array_equal(a, c, err_msg=name + " (once2)")
+            else:
+                np.testing.assert_allclose(
+                    a, c, rtol=2e-4, atol=1e-6, err_msg=name + " (once2)"
+                )
         for name, a, c in zip(ref._fields, ref, out_q1):
             a, c = np.asarray(a), np.asarray(c)
             # pad to the ref's lane count (trace_wavefront pads internally?
