@@ -238,3 +238,36 @@ class TestScalingShape:
             times[d] = time.perf_counter() - t0
         # replicated dp measured ~2.4x flat-ideal at 8 shards on shared CPU
         assert times[8] < 6.0 * times[1], times
+
+
+class TestShardedWideWalkCompactOnce:
+    def test_wide_bvh_and_compact_once_under_shard_map(
+        self, cornell_small, monkeypatch
+    ):
+        """The production large-scene stack — 16-wide BVH walk + the
+        round-4 compact-once wavefront layout — must compile and run
+        inside the shard_map frame program (the partition + frozen-prefix
+        band loop has no collectives, so per-shard divergence is safe).
+        Forced here by attaching a real wide BVH to the small scene (the
+        auto threshold only engages above 16k tris)."""
+        from nrc_tpu.ops.bvh_wide import build_wide_bvh
+        from nrc_tpu.render import integrator
+
+        monkeypatch.setattr(integrator, "WAVEFRONT_CHUNK", 128)
+        scene, system = cornell_small
+        r = Renderer(scene, system, render_mode=RenderMode.FULL, train=True,
+                     adaptive_tiles=False)
+        wide = build_wide_bvh(scene.p0, scene.p1, scene.p2, branch=16,
+                              leaf_size=16)
+        r.device_scene = r.device_scene._replace(
+            bvh={k: jnp.asarray(v) for k, v in wide.items()}
+        )
+        assert integrator._queue_mode_auto(r.device_scene) == "once"
+        pr = ParallelRenderer(r, make_mesh())
+        stats = None
+        for _ in range(2):
+            stats = pr.render_frame()
+        assert np.isfinite(float(stats.loss))
+        img = np.asarray(pr.image_hdr())
+        assert np.all(np.isfinite(img))
+        assert img.max() > 0.0
