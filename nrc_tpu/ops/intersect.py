@@ -379,7 +379,13 @@ def _skip_traverse(org, direction, bvh, tmin, tmax, any_hit: bool):
 # keeps per-step fixed overhead amortized; lax.map runs chunks sequentially.
 import os as _os
 
-TRAVERSAL_CHUNK = int(_os.environ.get("NRC_TRAVERSAL_CHUNK", "2048"))
+# Round-4 sweep (ms/frame, FULL + train, warm): smaller chunks cut the
+# lockstep waste of the walk (a chunk runs to its SLOWEST ray; the gather
+# machine charges ~15 ns per index either way):
+#   demo 640x360:  256->883  512->825  1024->852  2048->888  4096->951
+#   demo 1280x720:           512->2893 1024->2911 2048->3009
+#   vMaterials 96^2:         512->59.0 1024->69.2 2048->62.5
+TRAVERSAL_CHUNK = int(_os.environ.get("NRC_TRAVERSAL_CHUNK", "512"))
 
 
 def _part_bits(v):
