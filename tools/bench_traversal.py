@@ -41,6 +41,13 @@ def main():
         "--sweep-chunks", default=None,
         help="comma list of traversal chunk sizes to measure in one process",
     )
+    ap.add_argument(
+        "--sort", default="none",
+        help="comma list of ray orderings to A/B in one process (same "
+        "compiled walk, host-permuted inputs): none | octant (direction "
+        "sign bits) | morton (origin, 10 bits/axis in the scene AABB) | "
+        "octmorton (octant major, origin-morton minor)",
+    )
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--check-n", type=int, default=4096)
@@ -137,30 +144,61 @@ def main():
             else [os.environ.get("NRC_TRAVERSAL_CHUNK", "2048")]
         )
     ]
+
+    def _morton_key(p):
+        q = np.clip((p - lo) / np.maximum(hi - lo, 1e-30), 0.0, 1.0)
+        q = (q * 1023.0).astype(np.uint64)
+        key = np.zeros(p.shape[0], np.uint64)
+        for b in range(10):
+            for ax, sh in ((0, 2), (1, 1), (2, 0)):
+                # interleave: bit b of axis ax lands at 3b + (2 - ax)
+                key |= ((q[:, ax] >> b) & 1) << np.uint64(3 * b + sh)
+        return key
+
+    def _order(mode):
+        if mode == "none":
+            return np.arange(args.rays)
+        octant = ((d[:, 0] < 0).astype(np.uint64)
+                  | ((d[:, 1] < 0).astype(np.uint64) << 1)
+                  | ((d[:, 2] < 0).astype(np.uint64) << 2))
+        if mode == "octant":
+            return np.argsort(octant, kind="stable")
+        m = _morton_key(org)
+        if mode == "morton":
+            return np.argsort(m, kind="stable")
+        if mode == "octmorton":
+            return np.argsort((octant << np.uint64(30)) | m, kind="stable")
+        raise SystemExit(f"unknown --sort mode {mode}")
+
+    sort_modes = args.sort.split(",")
     for chunk in chunks:
         I.TRAVERSAL_CHUNK = chunk  # read at trace time by chunked_over_rays
         # fresh lambda identity -> fresh trace under the new chunking
         cfn = jax.jit(lambda o, dd, _f=fn_raw: _f(o, dd))
         h = cfn(org_j, dir_j)  # warmup/compile
         float(h.t[0])
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            h = cfn(org_j, dir_j)
-            float(h.t[0])  # true completion barrier (tunnel-safe)
-            times.append(time.perf_counter() - t0)
-        ms = min(times) * 1e3
-        mrays = args.rays / min(times) / 1e6
-        hits = int(jnp.sum(h.prim >= 0))
-        print(f"{args.impl} chunk={chunk}: {ms:.1f} ms/batch, "
-              f"{mrays:.2f} Mrays/s, hits {hits}/{args.rays}")
-        if args.json:
-            print(json.dumps({
-                "scene": args.scene, "mode": args.mode, "impl": args.impl,
-                "rays": args.rays, "ms_per_batch": round(ms, 2),
-                "mrays_per_s": round(mrays, 3), "tris": int(tris.num),
-                "chunk": chunk,
-            }), flush=True)
+        for smode in sort_modes:
+            perm = _order(smode)
+            o_s = jnp.asarray(org[perm])
+            d_s = jnp.asarray(d[perm])
+            times = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                h = cfn(o_s, d_s)
+                float(h.t[0])  # true completion barrier (tunnel-safe)
+                times.append(time.perf_counter() - t0)
+            ms = min(times) * 1e3
+            mrays = args.rays / min(times) / 1e6
+            hits = int(jnp.sum(h.prim >= 0))
+            print(f"{args.impl} chunk={chunk} sort={smode}: {ms:.1f} ms/batch, "
+                  f"{mrays:.2f} Mrays/s, hits {hits}/{args.rays}")
+            if args.json:
+                print(json.dumps({
+                    "scene": args.scene, "mode": args.mode, "impl": args.impl,
+                    "rays": args.rays, "ms_per_batch": round(ms, 2),
+                    "mrays_per_s": round(mrays, 3), "tris": int(tris.num),
+                    "chunk": chunk, "sort": smode,
+                }), flush=True)
 
     if args.check:
         from nrc_tpu.ops.intersect import intersect_bruteforce
