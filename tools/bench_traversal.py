@@ -203,6 +203,11 @@ def main():
     if args.check:
         from nrc_tpu.ops.intersect import intersect_bruteforce
 
+        # the bench loop above may have left h evaluated on --sort-permuted
+        # inputs; the brute-force reference below uses the UNPERMUTED rays,
+        # so re-evaluate on those before comparing (ADVICE r4)
+        h = cfn(org_j, dir_j)
+        float(h.t[0])
         k = args.check_n
         bf = jax.jit(
             lambda o, dd: intersect_bruteforce(o, dd, tris, tmin[:k], tmax[:k])
