@@ -264,6 +264,17 @@ class FrameConfig:
     # Per-scene position normalization applied to radiance-query positions.
     # The reference hardcodes 0.005 for Cornell (``hit.cu:595-597``).
     position_scale: float = 0.005
+    # NEE shadow-ray Russian roulette threshold (TPU-native deviation; the
+    # reference traces every valid NEE sample, ``hit.cu:398-417``). A
+    # sample whose UNOCCLUDED contribution luminance is below this value
+    # survives with p = lum/tau (floored at 0.05) and is scaled by 1/p —
+    # an unbiased estimator, same family as path Russian roulette. Culled
+    # lanes get an empty t-range and pool into dead traversal chunks that
+    # exit immediately (``ops/intersect.py::_coherence_key``), so the
+    # occlusion walk's cost tracks the SURVIVING ray count. 0 disables
+    # (trace-exact reference behavior); the RR uniform comes from a side
+    # stream, so the main per-lane sample streams are identical either way.
+    nee_rr_tau: float = 0.0
 
     @property
     def num_pixels(self) -> int:

@@ -106,6 +106,14 @@ def _init_network_body(key: jax.Array, cfg: NetworkConfig) -> NetworkState:
     w_hidden = uniform(k_h, (h, n, n), n)
     w_out = jnp.zeros((n, OUT_PAD), jnp.float32)
     w_out = w_out.at[:, :3].set(uniform(k_out, (n, 3), n))
+    import os as _os
+
+    if _os.environ.get("NRC_WOUT_POS_INIT", "0") == "1":
+        # Output-ReLU parity experiment (BASELINE.md round-5): start every
+        # radiance channel with positive-mean weights so initial
+        # predictions are mostly > 0 — tests whether the reference
+        # config's collapse under ReLU-output training is an init effect.
+        w_out = jnp.abs(w_out)
     params = MLPParams(w_in=w_in, w_hidden=w_hidden, w_out=w_out)
 
     zeros = jax.tree.map(jnp.zeros_like, params)
@@ -287,8 +295,23 @@ def train_step(
             import os as _os
 
             _relu_out = _os.environ.get("NRC_TRAIN_OUTPUT_RELU", "0") == "1"
-            pred = mlp_forward(params, x, output_relu=_relu_out)
+            # Output-ReLU parity experiments (BASELINE.md round-5):
+            # NRC_OUTPUT_LEAKY=a trains leaky-ReLU(a) on the output instead
+            # of the exact ReLU (gradient never fully gated -> no permanent
+            # channel death); NRC_GRAD_SCALE=S multiplies the loss by S and
+            # the gradient by 1/S around the bf16 matmul adjoints (tcnn's
+            # fp16 loss-scaling, NRCNetwork.cu) — exact identity in f32,
+            # only bf16 rounding of tiny gradients changes.
+            _leaky = float(_os.environ.get("NRC_OUTPUT_LEAKY", "0"))
+            if _relu_out and _leaky > 0.0:
+                pred = mlp_forward(params, x, output_relu=False)
+                pred = jnp.where(pred > 0.0, pred, _leaky * pred)
+            else:
+                pred = mlp_forward(params, x, output_relu=_relu_out)
             loss = relative_l2_luminance(pred, target)
+            _gs = float(_os.environ.get("NRC_GRAD_SCALE", "1"))
+            if _gs != 1.0:
+                loss = loss * _gs
             if loss_scale is not None:
                 loss = loss * loss_scale
             return loss
@@ -300,6 +323,14 @@ def train_step(
         else:
             loss, g_params = jax.value_and_grad(loss_fn)(state.params, None)
             g_grid = None
+        _gs = float(_os.environ.get("NRC_GRAD_SCALE", "1"))
+        if _gs != 1.0:
+            # unscale (see NRC_GRAD_SCALE above) — identity up to bf16
+            # rounding inside the matmul adjoints
+            loss = loss / _gs
+            g_params = jax.tree.map(lambda g: g / _gs, g_params)
+            if g_grid is not None:
+                g_grid = jax.tree.map(lambda g: g / _gs, g_grid)
 
     if grad_reduce is not None:
         g_params = grad_reduce(g_params)

@@ -500,6 +500,27 @@ def occluded_bvh(org, direction, bvh, tris: TriSoA, tmin, tmax) -> jnp.ndarray:
 # Dispatcher
 # ---------------------------------------------------------------------------
 
+def make_anyhit_prim(tris: TriSoA, bvh=None):
+    """Any-hit that also reports WHICH primitive it found -> prim [N] i32
+    (-1 = none; arbitrary intersecting prim, not the nearest — same contract
+    as an OptiX anyhit invocation). Used by the cutout shadow fast path
+    (render/integrator.py): a found prim whose material cannot be cut out
+    resolves the shadow ray without the stochastic-transparency hop loop.
+    Returns None when only the brute-force path is in play (small scenes
+    keep the plain hop loop)."""
+    if bvh is not None and tris.num > BVH_THRESHOLD:
+        if "rows" in bvh or "rows_hi" in bvh:
+            from .intersect_wide import _chunked_wide
+
+            return lambda o, d, tn, tf: _chunked_wide(
+                o, d, bvh, tn, tf, any_hit=True
+            )[1]
+        return lambda o, d, tn, tf: _chunked_traverse(
+            o, d, bvh, tn, tf, any_hit=True
+        )[1]
+    return None
+
+
 def make_intersectors(tris: TriSoA, bvh=None):
     """Return (closest_hit_fn, any_hit_fn) choosing brute force vs BVH.
 

@@ -188,28 +188,26 @@ def sort8_by_key(key, val):
     return jnp.stack(vals, axis=1)
 
 
-def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
-                   with_stats: bool = False, leaf_test=_leaf_tri_t):
-    """One chunk's lockstep walk. org/direction [N,3]; returns (t, prim)
-    (+ a step-count scalar when ``with_stats``).
-    ``leaf_test`` consumes a leaf row's component-major payload columns
-    (triangles by default; ``_leaf_cone_t`` for curve segments).
+def _make_walk_parts(n: int, wb, any_hit: bool, leaf_test=_leaf_tri_t):
+    """Build (init, step, done_of) for an n-lane lockstep walk.
 
-    ONE row gather per step from the unified node+leaf table (bvh_wide
-    ``rows``): each lane's ``pending`` address names the row it needs this
-    step — a wide node to slab-test (descend) or a leaf row to
-    primitive-test — so the walk never pays the round-2 layout's two
-    separate gathers. Children are sorted by actual slab entry distance at
-    visit time (``sort8_by_key``), giving true per-ray ordered descent
-    (shrinks best_t sooner -> more subtree culls) without the 8x
-    octant-replicated node variants."""
+    The walk state carries the rays themselves (org/direction/inv_d/
+    tmin/tmax) so a REFILL driver (``_refill_wide``) can swap fresh chunks
+    into row slices mid-loop; the classic per-chunk driver just never
+    touches them. ``init`` builds a fresh state for n lanes; ``step`` is
+    one walk step over the whole state; ``done_of`` extracts the done mask.
+
+    ONE row gather per lane per step from the unified node+leaf table (bvh
+    ``rows``): a lane's ``pending`` address names either a wide node
+    (slab-test all children in one [N, B] pass) or a leaf row (test
+    leaf_size prims as [N, ls] vector math). Children are sorted by actual
+    slab entry distance at visit time (``sort8_by_key``) — true per-ray
+    ordered descent."""
     from .bvh_wide import BRANCH
 
     # branch width shape-carried by the build ("branch" key; legacy dicts
     # without it are 8-wide)
     branch = wb["branch"].shape[1] if "branch" in wb else BRANCH
-
-    n = org.shape[0]
     # split u16 half tables when present (production upload): two 256 B-row
     # gathers + bit-exact f32 reconstruct beat one 512 B-row f32 gather ~2x
     # on the gather that is 84% of the walk (see bvh_wide.split_rows_u16)
@@ -228,17 +226,12 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
     leaf_size = wb["leaf_ids"].shape[1]
     assert P >= 7 * branch and P >= (prim_row_w + 1) * leaf_size
 
-    inv_d = jnp.where(
-        jnp.abs(direction) > 1e-20,
-        1.0 / jnp.where(direction != 0.0, direction, 1.0),
-        np.float32(3.0e38),
-    )
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (n, branch), 1)
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (n, D), 1)
     iota_ls = jax.lax.broadcasted_iota(jnp.int32, (n, leaf_size), 1)
 
-    def slab_children(row, best_t):
-        """Box-test all 8 children of a gathered node row -> entry-distance
+    def slab_children(row, best_t, org, inv_d, tmin, tmax):
+        """Box-test all children of a gathered node row -> entry-distance
         sorted children set (missed/empty slots NONE, sorted last)."""
         B = branch
         meta = row[:, 6 * B: 7 * B].view(jnp.int32)          # [N, 8]
@@ -263,13 +256,32 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
         key = jnp.where(ok, near, jnp.inf)
         return sort8_by_key(key, jnp.where(ok, meta, NONE))
 
-    def step_cond(s):
-        done = s[5]
-        return ~jnp.all(done)
+    def init(org, direction, tmin, tmax):
+        inv_d = jnp.where(
+            jnp.abs(direction) > 1e-20,
+            1.0 / jnp.where(direction != 0.0, direction, 1.0),
+            np.float32(3.0e38),
+        )
+        dead = tmax <= tmin
+        return (
+            org, direction, inv_d, tmin, tmax,
+            jnp.full((n, branch), NONE),                    # children
+            jnp.full((n, D, branch), NONE),                 # stack
+            jnp.zeros((n,), jnp.int32),                     # depth
+            jnp.where(dead, -1, 0).astype(jnp.int32),       # pending: root
+            jnp.zeros((n,), bool),                          # pend_leaf
+            dead,                                           # done
+            jnp.full((n,), RT_MAX),                         # best_t
+            jnp.full((n,), -1, jnp.int32),                  # best_prim
+            jnp.int32(0),                                   # step counter
+        )
+
+    def done_of(s):
+        return s[10]
 
     def step(s):
-        children, stack, depth, pending, pend_leaf, done, best_t, \
-            best_prim, nd = s
+        org, direction, inv_d, tmin, tmax, children, stack, depth, \
+            pending, pend_leaf, done, best_t, best_prim, nd = s
         nd = nd + 1
         live = ~done
 
@@ -313,7 +325,7 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
 
         # ---- node service: slab-test the gathered row -> sorted set -----
         do_node = live & ~pend_leaf & (pending >= 0)
-        new_children = slab_children(row, best_t)
+        new_children = slab_children(row, best_t, org, inv_d, tmin, tmax)
         children = jnp.where(do_node[:, None], new_children, children)
 
         # ---- pop: lanes with an exhausted set restore saved siblings ----
@@ -356,30 +368,145 @@ def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
         )
         pend_leaf = is_leaf
 
-        return (children, stack, depth, pending, pend_leaf, done,
-                best_t, best_prim, nd)
+        return (org, direction, inv_d, tmin, tmax, children, stack, depth,
+                pending, pend_leaf, done, best_t, best_prim, nd)
 
-    dead = tmax <= tmin
-    state = (
-        jnp.full((n, branch), NONE),                    # children
-        jnp.full((n, D, branch), NONE),                 # stack
-        jnp.zeros((n,), jnp.int32),                     # depth
-        jnp.where(dead, -1, 0).astype(jnp.int32),       # pending: root row
-        jnp.zeros((n,), bool),                          # pend_leaf
-        dead,                                           # done
-        jnp.full((n,), RT_MAX),                         # best_t
-        jnp.full((n,), -1, jnp.int32),                  # best_prim
-        jnp.int32(0),                                   # step counter
+    return init, step, done_of
+
+
+def _wide_traverse(org, direction, wb, tmin, tmax, any_hit: bool,
+                   with_stats: bool = False, leaf_test=_leaf_tri_t):
+    """One chunk's lockstep walk. org/direction [N,3]; returns (t, prim)
+    (+ a step-count scalar when ``with_stats``)."""
+    init, step, done_of = _make_walk_parts(
+        org.shape[0], wb, any_hit, leaf_test=leaf_test
     )
-    out = jax.lax.while_loop(step_cond, step, state)
-    t, prim, nd = out[6], out[7], out[8]
+    out = jax.lax.while_loop(
+        lambda s: ~jnp.all(done_of(s)), step, init(org, direction, tmin, tmax)
+    )
+    t, prim, nd = out[11], out[12], out[13]
     if with_stats:
         return t, prim, nd
     return t, prim
 
 
+# Persistent-wavefront refill driver (round 5): NRC_TRAVERSAL_REFILL = G
+# (> 0 enables). G rows of TRAVERSAL_CHUNK lanes step TOGETHER — one
+# [G*C]-index row gather per step, which runs at a far better per-index
+# rate than C-index gathers (BASELINE.md round-5 gather-rate curve) —
+# and any row whose chunk has fully terminated retires its results and
+# REFILLS with the next pending chunk in the same step, so the lockstep
+# waste that made large monolithic chunks lose (512: 61 ms -> 8192: 80 ms
+# on the demo harness) never accrues. Refill cost is tiny by design: a
+# fresh row only needs children/scalars reset — the sibling STACK is
+# write-before-read for a fresh lane (pushes at depth d always precede
+# the pop that reads d), so stale stack contents from the previous chunk
+# are never observed.
+_REFILL_GROUPS = int(_os.environ.get("NRC_TRAVERSAL_REFILL", "0"))
+
+
+def _refill_wide(org, direction, wb, tmin, tmax, any_hit: bool,
+                 leaf_test=_leaf_tri_t, groups: int = 8):
+    from .intersect import TRAVERSAL_CHUNK, _coherence_key
+
+    C = TRAVERSAL_CHUNK
+    n = org.shape[0]
+    pad = (-n) % C
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        direction = jnp.concatenate(
+            [direction, jnp.ones((pad, 3), direction.dtype)]
+        )
+        tmin = jnp.concatenate([tmin, jnp.ones((pad,), tmin.dtype)])
+        tmax = jnp.concatenate([tmax, jnp.zeros((pad,), tmax.dtype)])
+    m = n + pad
+    c = m // C
+    G = min(groups, c)
+    root_lo, root_hi = wb["root"][0], wb["root"][1]
+    key = _coherence_key(org, direction, tmin, tmax, root_lo, root_hi)
+    perm = jnp.argsort(key)
+    so = org[perm]
+    sd = direction[perm]
+    stn = tmin[perm]
+    stx = tmax[perm]
+
+    init_row, _, _ = _make_walk_parts(C, wb, any_hit, leaf_test=leaf_test)
+    init_full, step_all, done_of = _make_walk_parts(
+        G * C, wb, any_hit, leaf_test=leaf_test
+    )
+    state0 = init_full(so[: G * C], sd[: G * C], stn[: G * C], stx[: G * C])
+
+    # out slot c is the dump for rows that are idle/already-retired
+    out_t0 = jnp.full(((c + 1) * C,), RT_MAX)
+    out_p0 = jnp.full(((c + 1) * C,), -1, jnp.int32)
+    ids0 = jnp.arange(G, dtype=jnp.int32)
+
+    def cond(carry):
+        s, ids, nxt, out_t, out_p = carry
+        return jnp.any(~done_of(s)) | (nxt < c)
+
+    def body(carry):
+        s, ids, nxt, out_t, out_p = carry
+        s = step_all(s)
+        done = done_of(s)
+        best_t, best_prim = s[11], s[12]
+        leaves = list(s)
+        for g in range(G):
+            sl = slice(g * C, (g + 1) * C)
+            row_done = jnp.all(done[sl])
+            # retire: write the row's results to its chunk slot (idempotent
+            # while the row stays done; the dump slot c swallows idle rows)
+            tgt = jnp.where(row_done, ids[g], c) * C
+            out_t = jax.lax.dynamic_update_slice_in_dim(
+                out_t, best_t[sl], tgt, 0
+            )
+            out_p = jax.lax.dynamic_update_slice_in_dim(
+                out_p, best_prim[sl], tgt, 0
+            )
+            # refill: swap the next pending chunk's rays in
+            take = row_done & (nxt < c)
+            src = jnp.where(take, nxt, 0) * C
+            f_org = jax.lax.dynamic_slice_in_dim(so, src, C, 0)
+            f_dir = jax.lax.dynamic_slice_in_dim(sd, src, C, 0)
+            f_tn = jax.lax.dynamic_slice_in_dim(stn, src, C, 0)
+            f_tx = jax.lax.dynamic_slice_in_dim(stx, src, C, 0)
+            fresh = init_row(f_org, f_dir, f_tn, f_tx)
+            # leaves: org, dir, inv_d, tmin, tmax, children, stack, depth,
+            # pending, pend_leaf, done, best_t, best_prim, nd — the STACK
+            # (index 6) is intentionally left stale (write-before-read for
+            # fresh lanes, see driver comment); nd (13) is global
+            for li in (0, 1, 2, 3, 4, 5, 7, 8, 9, 10, 11, 12):
+                cur = jax.lax.slice_in_dim(leaves[li], g * C, (g + 1) * C, axis=0)
+                new = jnp.where(
+                    take if cur.ndim == 1 else take[..., None]
+                    if cur.ndim == 2 else take[..., None, None],
+                    fresh[li], cur,
+                )
+                leaves[li] = jax.lax.dynamic_update_slice_in_dim(
+                    leaves[li], new, g * C, 0
+                )
+            ids = ids.at[g].set(
+                jnp.where(take, nxt, jnp.where(row_done, c, ids[g]))
+            )
+            nxt = nxt + take.astype(jnp.int32)
+        return tuple(leaves), ids, nxt, out_t, out_p
+
+    carry = (state0, ids0, jnp.int32(G), out_t0, out_p0)
+    s, ids, nxt, out_t, out_p = jax.lax.while_loop(cond, body, carry)
+    inv = jnp.zeros(m, jnp.int32).at[perm].set(jnp.arange(m, dtype=jnp.int32))
+    return out_t[: c * C][inv][:n], out_p[: c * C][inv][:n]
+
+
 def _chunked_wide(org, direction, wb, tmin, tmax, any_hit: bool,
                   leaf_test=_leaf_tri_t):
+    from .intersect import TRAVERSAL_CHUNK
+
+    G = _REFILL_GROUPS
+    if G > 0 and org.shape[0] >= 2 * G * TRAVERSAL_CHUNK:
+        return _refill_wide(
+            org, direction, wb, tmin, tmax, any_hit,
+            leaf_test=leaf_test, groups=G,
+        )
     return chunked_over_rays(
         lambda o, d, tn, tx: _wide_traverse(
             o, d, wb, tn, tx, any_hit, leaf_test=leaf_test

@@ -340,3 +340,276 @@ def fused_train_grad(w_in, w_h, w_out, x, target):
         ],
     )(x, tpad, w_in, w_h, w_out)
     return loss[0, 0], dwin, dwh, dwout
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused 4-STEP trainer (round 5): the whole per-frame training side —
+# 4 sequential Adam steps of B=16384 each (reference NUM_BATCHES semantics,
+# neural_radiance_caching.h:29-30) + L2 + bias-corrected Adam + EMA — as ONE
+# Pallas kernel. Weights, moments and EMA live in VMEM scratch across all
+# four batches; batch data streams through grid blocks (double-buffered DMA).
+#
+# MXU-width packing: the 64-wide chain wastes half the MXU's 128 output
+# lanes (BASELINE.md MFU note), so each grid step processes TWO independent
+# 2048-row half-tiles packed side by side — activations [2048, 128] with
+# half A in lanes 0-63 and half B in 64-127, hidden weights block-diagonal
+# [128, 128] (off-diagonal zeros written once) — halving MXU cycles for the
+# hidden+output matmuls and their adjoints. The input layer stays half-width
+# (x is a real 128-vector) and dW de-packs by summing diagonal blocks.
+# ---------------------------------------------------------------------------
+
+HALF = 2048          # rows per packed half
+TILE_T4 = 2 * HALF   # batch rows consumed per grid step
+
+
+def _train4_kernel(n_hidden, t_tiles, inv_count, b1, b2, eps, l2, decay,
+                   # scalar prefetch
+                   sc_ref,
+                   # inputs
+                   x_ref, t_ref, w_in_ref, w_h_ref, w_out_ref,
+                   mu_in_ref, mu_h_ref, mu_out_ref,
+                   nu_in_ref, nu_h_ref, nu_out_ref,
+                   e_in_ref, e_h_ref, e_out_ref,
+                   # outputs
+                   loss_ref, ow_in_ref, ow_h_ref, ow_out_ref,
+                   omu_in_ref, omu_h_ref, omu_out_ref,
+                   onu_in_ref, onu_h_ref, onu_out_ref,
+                   oe_in_ref, oe_h_ref, oe_out_ref,
+                   # scratch
+                   w_in_v, wh_p, wout_p,
+                   mu_in_v, mu_h_v, mu_out_v,
+                   nu_in_v, nu_h_v, nu_out_v,
+                   e_in_v, e_h_v, e_out_v,
+                   dwin_v, dwh_p, dwout_p):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    W = WIDTH
+
+    @pl.when((b == 0) & (t == 0))
+    def _load():
+        w_in_v[:] = w_in_ref[:]
+        wh_p[:] = jnp.zeros_like(wh_p)
+        for i in range(n_hidden):
+            wh_p[i, 0:W, 0:W] = w_h_ref[i]
+            wh_p[i, W:2 * W, W:2 * W] = w_h_ref[i]
+        wout_p[:] = jnp.zeros_like(wout_p)
+        wout_p[0:W, 0:OUT_PAD] = w_out_ref[:]
+        wout_p[W:2 * W, OUT_PAD:2 * OUT_PAD] = w_out_ref[:]
+        mu_in_v[:] = mu_in_ref[:]
+        mu_h_v[:] = mu_h_ref[:]
+        mu_out_v[:] = mu_out_ref[:]
+        nu_in_v[:] = nu_in_ref[:]
+        nu_h_v[:] = nu_h_ref[:]
+        nu_out_v[:] = nu_out_ref[:]
+        e_in_v[:] = e_in_ref[:]
+        e_h_v[:] = e_h_ref[:]
+        e_out_v[:] = e_out_ref[:]
+
+    @pl.when(t == 0)
+    def _zero():
+        loss_ref[0, 0] = 0.0
+        dwin_v[:] = jnp.zeros_like(dwin_v)
+        dwh_p[:] = jnp.zeros_like(dwh_p)
+        dwout_p[:] = jnp.zeros_like(dwout_p)
+
+    # ---- forward: two half-tiles packed into 128 lanes -------------------
+    xa = x_ref[0, 0:HALF, :]                 # bf16 [HALF, 128]
+    xb = x_ref[0, HALF:TILE_T4, :]
+    za = _mm(xa, w_in_v[:])                  # [HALF, 64] f32
+    zb = _mm(xb, w_in_v[:])
+    a = jnp.concatenate(
+        [jnp.maximum(za, 0.0), jnp.maximum(zb, 0.0)], axis=1
+    ).astype(jnp.bfloat16)                   # [HALF, 128] packed
+    acts = [a]
+    for i in range(n_hidden):
+        z = _mm(a, wh_p[i])                  # [HALF, 128] x [128, 128]
+        a = jnp.maximum(z, 0.0).astype(jnp.bfloat16)
+        acts.append(a)
+    pred = _mm(acts[-1], wout_p[:])          # [HALF, 32]: A cols 0-15, B 16-31
+
+    # ---- RelativeL2Luminance grad on cols {0..2} of each half ------------
+    tp = jnp.concatenate(
+        [t_ref[0, 0:HALF, :], t_ref[0, HALF:TILE_T4, :]], axis=1
+    )                                        # [HALF, 32] packed like pred
+    col = jax.lax.broadcasted_iota(jnp.int32, pred.shape, 1)
+    rgb = (col % OUT_PAD) < 3
+    lum_a = (
+        0.299 * pred[:, 0:1] + 0.587 * pred[:, 1:2] + 0.114 * pred[:, 2:3]
+    )
+    lum_b = (
+        0.299 * pred[:, OUT_PAD:OUT_PAD + 1]
+        + 0.587 * pred[:, OUT_PAD + 1:OUT_PAD + 2]
+        + 0.114 * pred[:, OUT_PAD + 2:OUT_PAD + 3]
+    )
+    denom = jnp.where(
+        col < OUT_PAD, lum_a * lum_a + 0.01, lum_b * lum_b + 0.01
+    )
+    diff = jnp.where(rgb, pred - tp, 0.0)
+    loss_ref[0, 0] += jnp.sum(diff * diff / denom) * inv_count
+    g = ((2.0 * inv_count) * diff / denom).astype(jnp.bfloat16)
+
+    # ---- backward --------------------------------------------------------
+    dwout_p[:] += _mm_tn(acts[-1], g)
+    gw = jax.lax.dot_general(                # g @ wout_p^T -> [HALF, 128]
+        g, wout_p[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gw = jnp.where(acts[-1].astype(jnp.float32) > 0.0, gw, 0.0)
+    for i in range(n_hidden - 1, -1, -1):
+        dwh_p[i] += _mm_tn(acts[i], gw.astype(jnp.bfloat16))
+        gw = jax.lax.dot_general(
+            gw.astype(jnp.bfloat16), wh_p[i].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        prev = acts[i - 1] if i > 0 else None
+        if prev is not None:
+            gw = jnp.where(prev.astype(jnp.float32) > 0.0, gw, 0.0)
+    # input-layer relu' uses the packed layer-0 activation
+    gw = jnp.where(acts[0].astype(jnp.float32) > 0.0, gw, 0.0)
+    ga = gw[:, 0:W].astype(jnp.bfloat16)
+    gb = gw[:, W:2 * W].astype(jnp.bfloat16)
+    dwin_v[:] += _mm_tn(xa, ga) + _mm_tn(xb, gb)
+
+    # ---- batch end: L2 + Adam (bias-corrected) + EMA, in VMEM ------------
+    @pl.when(t == t_tiles - 1)
+    def _optim():
+        lr = sc_ref[0]
+        bc1 = sc_ref[1 + b]
+        bc2 = sc_ref[5 + b]
+
+        def adam(pv, gv, muv, nuv):
+            gv = gv + l2 * pv
+            mu = b1 * muv + (1.0 - b1) * gv
+            nu = b2 * nuv + (1.0 - b2) * gv * gv
+            upd = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+            return pv - lr * upd, mu, nu
+
+        w, m, v = adam(w_in_v[:], dwin_v[:], mu_in_v[:], nu_in_v[:])
+        w_in_v[:] = w
+        mu_in_v[:] = m
+        nu_in_v[:] = v
+        e_in_v[:] = decay * e_in_v[:] + (1.0 - decay) * w
+        for i in range(n_hidden):
+            dw = dwh_p[i, 0:W, 0:W] + dwh_p[i, W:2 * W, W:2 * W]
+            w, m, v = adam(wh_p[i, 0:W, 0:W], dw, mu_h_v[i], nu_h_v[i])
+            wh_p[i, 0:W, 0:W] = w
+            wh_p[i, W:2 * W, W:2 * W] = w
+            mu_h_v[i] = m
+            nu_h_v[i] = v
+            e_h_v[i] = decay * e_h_v[i] + (1.0 - decay) * w
+        dw = dwout_p[0:W, 0:OUT_PAD] + dwout_p[W:2 * W, OUT_PAD:2 * OUT_PAD]
+        w, m, v = adam(wout_p[0:W, 0:OUT_PAD], dw, mu_out_v[:], nu_out_v[:])
+        wout_p[0:W, 0:OUT_PAD] = w
+        wout_p[W:2 * W, OUT_PAD:2 * OUT_PAD] = w
+        mu_out_v[:] = m
+        nu_out_v[:] = v
+        e_out_v[:] = decay * e_out_v[:] + (1.0 - decay) * w
+
+    @pl.when((b == pl.num_programs(0) - 1) & (t == t_tiles - 1))
+    def _emit():
+        ow_in_ref[:] = w_in_v[:]
+        for i in range(n_hidden):
+            ow_h_ref[i] = wh_p[i, 0:W, 0:W]
+        ow_out_ref[:] = wout_p[0:W, 0:OUT_PAD]
+        omu_in_ref[:] = mu_in_v[:]
+        omu_h_ref[:] = mu_h_v[:]
+        omu_out_ref[:] = mu_out_v[:]
+        onu_in_ref[:] = nu_in_v[:]
+        onu_h_ref[:] = nu_h_v[:]
+        onu_out_ref[:] = nu_out_v[:]
+        oe_in_ref[:] = e_in_v[:]
+        oe_h_ref[:] = e_h_v[:]
+        oe_out_ref[:] = e_out_v[:]
+
+
+@jax.jit
+def fused_train4(w_in, w_h, w_out, mu, nu, ema, x4, t4, lr, step0):
+    """Four sequential Adam+EMA train steps in ONE kernel.
+
+    ``x4`` [4, B, LANE] bf16 pre-encoded+padded batches, ``t4`` [4, B, 3]
+    targets, ``mu``/``nu``/``ema`` MLP-shaped pytrees (tuples
+    (in, hidden, out)), ``step0`` the Adam step count BEFORE this frame.
+    Returns (losses [4], new_w tuple, new_mu, new_nu, new_ema). Matches 4x
+    ``network.train_step`` (frequency path, linear output) to bf16-matmul
+    tolerance; parity pinned in test_mlp_pallas.py."""
+    nb, bsz, _ = x4.shape
+    assert bsz % TILE_T4 == 0
+    t_tiles = bsz // TILE_T4
+    n_hidden = w_h.shape[0]
+    from ..config import NetworkConfig
+
+    ncfg = NetworkConfig()
+    b1, b2 = ncfg.adam_beta1, ncfg.adam_beta2
+    eps, l2 = ncfg.adam_eps, ncfg.adam_l2_reg
+    decay = ncfg.ema_decay
+    steps = step0.astype(jnp.float32) + jnp.arange(1, nb + 1, dtype=jnp.float32)
+    sc = jnp.concatenate(
+        [jnp.reshape(lr.astype(jnp.float32), (1,)), 1.0 - b1 ** steps,
+         1.0 - b2 ** steps]
+    )  # [1 + nb + nb]
+    tpad = jnp.zeros((nb, bsz, OUT_PAD), jnp.float32).at[:, :, :3].set(t4)
+    inv_count = 1.0 / float(bsz * 3)
+
+    H, W = n_hidden, WIDTH
+    f32 = jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, t_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE_T4, LANE), lambda b, t, sc: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_T4, OUT_PAD), lambda b, t, sc: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(12)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda b, t, sc: (b, 0),
+                         memory_space=pltpu.SMEM),
+        ] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(12)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((LANE, W), f32),          # w_in_v
+            pltpu.VMEM((H, 2 * W, 2 * W), f32),  # wh_p
+            pltpu.VMEM((2 * W, 2 * OUT_PAD), f32),  # wout_p
+            pltpu.VMEM((LANE, W), f32),          # mu_in_v
+            pltpu.VMEM((H, W, W), f32),          # mu_h_v
+            pltpu.VMEM((W, OUT_PAD), f32),       # mu_out_v
+            pltpu.VMEM((LANE, W), f32),          # nu_in_v
+            pltpu.VMEM((H, W, W), f32),          # nu_h_v
+            pltpu.VMEM((W, OUT_PAD), f32),       # nu_out_v
+            pltpu.VMEM((LANE, W), f32),          # e_in_v
+            pltpu.VMEM((H, W, W), f32),          # e_h_v
+            pltpu.VMEM((W, OUT_PAD), f32),       # e_out_v
+            pltpu.VMEM((LANE, W), f32),          # dwin_v
+            pltpu.VMEM((H, 2 * W, 2 * W), f32),  # dwh_p
+            pltpu.VMEM((2 * W, 2 * OUT_PAD), f32),  # dwout_p
+        ],
+    )
+    shapes = [
+        jax.ShapeDtypeStruct((nb, 1), f32),                 # losses
+        jax.ShapeDtypeStruct((LANE, W), f32),
+        jax.ShapeDtypeStruct((H, W, W), f32),
+        jax.ShapeDtypeStruct((W, OUT_PAD), f32),
+    ]
+    shapes += shapes[1:] * 3  # mu, nu, ema
+    out = pl.pallas_call(
+        functools.partial(
+            _train4_kernel, n_hidden, t_tiles, inv_count,
+            float(b1), float(b2), float(eps), float(l2), float(decay),
+        ),
+        grid_spec=grid_spec,
+        out_shape=shapes,
+    )(
+        sc, x4.astype(jnp.bfloat16), tpad, w_in, w_h, w_out,
+        mu[0], mu[1], mu[2], nu[0], nu[1], nu[2], ema[0], ema[1], ema[2],
+    )
+    losses = out[0][:, 0]
+    new_w = (out[1], out[2], out[3])
+    new_mu = (out[4], out[5], out[6])
+    new_nu = (out[7], out[8], out[9])
+    new_ema = (out[10], out[11], out[12])
+    return losses, new_w, new_mu, new_nu, new_ema

@@ -35,7 +35,7 @@ import numpy as np
 from ..config import FrameConfig, RenderMode
 from ..ops import bsdf as B
 from ..scene.materials import Archetype
-from ..ops.intersect import RT_MAX, make_intersectors
+from ..ops.intersect import RT_MAX, make_anyhit_prim, make_intersectors
 from ..ops.light_sampling import env_radiance, sample_lights
 from ..utils.math import (
     add1,
@@ -141,7 +141,18 @@ def trace_wavefront(
 ) -> WavefrontOut:
     n = org.shape[0]
     d_rec = cfg.max_train_records_per_ray if train else 1
+    import os as _os2
+
     closest_hit, any_hit = make_intersectors(scene.tris, scene.bvh)
+    # Opt-in (measured a NET LOSS on the demo scene, +8%: its shadow rays
+    # mostly DO find a cutout prim, so the pre-pass rarely resolves and
+    # its walk is pure overhead — BASELINE.md round-5 shadow-lever sweep):
+    anyhit_prim = (
+        make_anyhit_prim(scene.tris, scene.bvh)
+        if cfg.has_cutout
+        and _os2.environ.get("NRC_CUTOUT_FAST", "0") == "1"
+        else None
+    )
     num_lights = scene.lights.num
 
     # curve primitives (hair): second intersection stream + chiang BSDF
@@ -154,8 +165,6 @@ def trace_wavefront(
     truncate = train or cfg.render_mode != RenderMode.NO_CACHE
     direct_lighting = cfg.direct_lighting and num_lights > 0
     eps = cfg.scene_epsilon
-
-    import os as _os2
 
     MATROW_ONEHOT = _os2.environ.get("NRC_MATROW_ONEHOT", "1") == "1"
     # ---- merged per-material row fetch (round 4) -----------------------
@@ -875,6 +884,34 @@ def trace_wavefront(
                 )
             do_nee = alive & hit_valid & event_non_dirac
             valid_ls = (ls.pdf > 0.0) & (jnp.max(ev.bsdf, axis=-1) > 0.0) & (ev.pdf > 0.0)
+            # MIS weight + unoccluded contribution BEFORE the shadow trace
+            # (they do not depend on occlusion) so the shadow-ray RR below
+            # can see what the ray would contribute.
+            w_mis_l = jnp.where(
+                ls.is_singular, 1.0, balance_heuristic(ls.pdf, ev.pdf)
+            )
+            direct = (
+                ev.bsdf
+                * ls.radiance_over_pdf
+                * (float(num_lights) * w_mis_l)[..., None]
+            )
+            if cfg.nee_rr_tau > 0.0:
+                # Shadow-ray Russian roulette (see FrameConfig.nee_rr_tau):
+                # survive with p = lum(unoccluded contribution)/tau, scale
+                # by 1/p — unbiased. Pixel rays weight by path throughput
+                # (what the pixel would receive); training rays use the raw
+                # record target. The uniform is ONE LCG step of the
+                # xor-perturbed seed — a side stream — so per-lane main
+                # sample streams are bit-identical with the feature on/off.
+                ref_rgb = direct if train else s.throughput * direct
+                lum_sh = (
+                    0.3 * ref_rgb[..., 0] + 0.59 * ref_rgb[..., 1]
+                    + 0.11 * ref_rgb[..., 2]
+                )
+                p_sh = jnp.clip(lum_sh * (1.0 / cfg.nee_rr_tau), 0.05, 1.0)
+                _, u_sh_rr = R.rng(seed ^ np.uint32(0x9E3779B9))
+                valid_ls = valid_ls & (u_sh_rr < p_sh)
+                direct = direct * (1.0 / p_sh)[..., None]
             shadow_tmax = jnp.where(
                 do_nee & valid_ls, ls.distance - eps, 0.0
             )
@@ -895,6 +932,38 @@ def trace_wavefront(
                     seed, u_h = R.rng(seed)
                     u_sh_hops.append(u_h)
                 u_sh_hops = jnp.stack(u_sh_hops)             # [3, N]
+
+                # Fast path (round 5): ONE any-hit pre-pass resolves the
+                # two common cases without any closest-hit hop round —
+                # no primitive on the ray (visible) or an arbitrary found
+                # primitive whose material cannot be cut out (occluded:
+                # a solid blocker occludes regardless of any cutouts in
+                # front of it). Only lanes whose found prim IS
+                # cutout-capable enter the stochastic hop loop; the rest
+                # arrive there sh_done and pool into dead traversal
+                # chunks. Hop results are unchanged in distribution: the
+                # reference's anyhit visits primitives in arbitrary order
+                # too (__anyhit__shadow_cutout, hit.cu:1447-1468).
+                pre_occluded = jnp.zeros((n,), bool)
+                pre_resolved = jnp.zeros((n,), bool)
+                if anyhit_prim is not None:
+                    pre_prim = anyhit_prim(
+                        p_hit, ls.direction, jnp.full((n,), eps), shadow_tmax
+                    )
+                    shadow_traced = shadow_traced + (
+                        shadow_tmax > 0.0
+                    ).astype(jnp.int32)
+                    tsr_s = scene.tri_shade[jnp.maximum(pre_prim, 0)]
+                    m_s = jax.lax.bitcast_convert_type(
+                        tsr_s[..., 24:26], jnp.int32
+                    )[..., 0]
+                    row_s = fetch_mat_row(m_s)
+                    can_cut = (micol(row_s, "cutout_tex") >= 0) | (
+                        mcol(row_s, "cutout_opacity") < 1.0
+                    )
+                    found = pre_prim >= 0
+                    pre_occluded = found & ~can_cut
+                    pre_resolved = ~found | pre_occluded
 
                 def sh_body(c):
                     occluded, sh_tmin, sh_done, shadow_traced, hop = c
@@ -919,9 +988,9 @@ def trace_wavefront(
                     lambda c: (c[4] < 3) & ~jnp.all(c[2]),
                     sh_body,
                     (
-                        jnp.zeros((n,), bool),
+                        pre_occluded,
                         jnp.full((n,), eps),
-                        shadow_tmax <= 0.0,
+                        (shadow_tmax <= 0.0) | pre_resolved,
                         shadow_traced,
                         jnp.int32(0),
                     ),
@@ -936,14 +1005,6 @@ def trace_wavefront(
                     p_hit, ls.direction, scene.curve_bvh, scene.curves,
                     jnp.full((n,), eps), shadow_tmax,
                 )
-            w_mis_l = jnp.where(
-                ls.is_singular, 1.0, balance_heuristic(ls.pdf, ev.pdf)
-            )
-            direct = (
-                ev.bsdf
-                * ls.radiance_over_pdf
-                * (float(num_lights) * w_mis_l)[..., None]
-            )
             ok = do_nee & valid_ls & ~occluded
             direct = jnp.where(ok[..., None], direct, 0.0)
             if train:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Optional
 
@@ -117,6 +118,10 @@ class Renderer:
                 + np.unique(scene.materials.archetype2).tolist()
             ),
             reflectance_factoring=reflectance_factoring,
+            # shadow-ray RR threshold (see FrameConfig.nee_rr_tau); env
+            # override for A/B — 0 restores trace-every-sample reference
+            # behavior with bit-identical sample streams
+            nee_rr_tau=float(os.environ.get("NRC_NEE_RR_TAU", "0.0")),
         )
 
         # Fused Pallas MLP (tiny-cuda-nn equivalent): 23% faster than the XLA

@@ -249,3 +249,50 @@ class TestChunkedWavefront:
         assert integrator._queue_mode_auto(dev) is None  # no wide BVH
         fake = dev._replace(bvh={"rows": np.zeros((8, 8), np.float32)})
         assert integrator._queue_mode_auto(fake) == "once"
+
+
+class TestShadowRayRR:
+    """Shadow-ray Russian roulette (round 5, FrameConfig.nee_rr_tau).
+
+    tau=0 (the default) compiles the feature OUT entirely — reference
+    trace-every-sample behavior with untouched sample streams. tau>0 is an
+    unbiased estimator: the image expectation matches, so a moderate-spp
+    render must agree with the exact render to within noise."""
+
+    def test_tau_zero_is_default_and_exact(self, cornell):
+        import dataclasses
+
+        scene, system, dev = cornell
+        cfg = FrameConfig(width=64, height=64, max_depth=4, train=False,
+                          render_mode=RenderMode.NO_CACHE)
+        assert cfg.nee_rr_tau == 0.0
+        org, d, seeds = gen_rays(scene, 64)
+        base = trace_wavefront(dev, org, d, seeds, cfg, train=False)
+        again = trace_wavefront(
+            dev, org, d, seeds,
+            dataclasses.replace(cfg, nee_rr_tau=0.0), train=False,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.radiance), np.asarray(again.radiance)
+        )
+
+    def test_tau_positive_unbiased_within_noise(self, cornell):
+        import dataclasses
+
+        scene, system, dev = cornell
+        cfg = FrameConfig(width=48, height=48, max_depth=4, train=False,
+                          render_mode=RenderMode.NO_CACHE)
+        cfg_rr = dataclasses.replace(cfg, nee_rr_tau=0.05)
+        acc = acc_rr = 0.0
+        for s in range(24):
+            org, d, seeds = gen_rays(scene, 48, sample_idx=s, full_res=48)
+            out = trace_wavefront(dev, org, d, seeds, cfg, train=False)
+            out_rr = trace_wavefront(dev, org, d, seeds, cfg_rr, train=False)
+            acc = acc + np.asarray(out.radiance)
+            acc_rr = acc_rr + np.asarray(out_rr.radiance)
+        acc /= 24
+        acc_rr /= 24
+        assert np.all(np.isfinite(acc_rr))
+        # same mean energy to within Monte-Carlo noise at 24 spp
+        rel = abs(acc_rr.mean() - acc.mean()) / max(acc.mean(), 1e-9)
+        assert rel < 0.05, rel

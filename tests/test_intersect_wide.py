@@ -228,3 +228,35 @@ class TestBranch16:
         oa = occluded_wbvh(org, d, wb, tris, jnp.full((2000,), 1e-3), tmax)
         ob = occluded_bruteforce(org, d, tris, jnp.full((2000,), 1e-3), tmax)
         np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+class TestRefillDriver:
+    """Persistent-wavefront refill walk (round 5, NRC_TRAVERSAL_REFILL).
+
+    Measured a net loss on the demo harness (BASELINE.md round-5 refill
+    table) and ships opt-in; parity stays pinned so the experimental
+    driver cannot rot."""
+
+    def test_matches_bruteforce_with_dead_lanes(self, monkeypatch):
+        from nrc_tpu.ops import intersect as I
+        from nrc_tpu.ops import intersect_wide as IW
+
+        p0, p1, p2 = _soup(4000, seed=31)
+        tris = TriSoA.build(p0, p1, p2)
+        wb = jax.tree.map(jnp.asarray, build_wide_bvh(p0, p1, p2))
+        n = 1500
+        org, d = _rays(n, seed=32)
+        tmin = jnp.zeros(n)
+        tmax = jnp.full((n,), RT_MAX).at[::5].set(0.0)  # dead lanes
+        monkeypatch.setattr(I, "TRAVERSAL_CHUNK", 64)
+        monkeypatch.setattr(IW, "_REFILL_GROUPS", 4)
+        a = intersect_wbvh(org, d, wb, tris, tmin, tmax)
+        monkeypatch.setattr(IW, "_REFILL_GROUPS", 0)
+        b = intersect_wbvh(org, d, wb, tris, tmin, tmax)
+        np.testing.assert_array_equal(np.asarray(a.prim), np.asarray(b.prim))
+        np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-6)
+        monkeypatch.setattr(IW, "_REFILL_GROUPS", 4)
+        oa = occluded_wbvh(org, d, wb, tris, jnp.full((n,), 1e-3), tmax)
+        monkeypatch.setattr(IW, "_REFILL_GROUPS", 0)
+        ob = occluded_wbvh(org, d, wb, tris, jnp.full((n,), 1e-3), tmax)
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
