@@ -359,7 +359,8 @@ def fused_train_grad(w_in, w_h, w_out, x, target):
 # ---------------------------------------------------------------------------
 
 HALF = 2048          # rows per packed half
-TILE_T4 = 2 * HALF   # batch rows consumed per grid step
+STREAMS = 2          # independent packed pipelines interleaved per step
+TILE_T4 = STREAMS * 2 * HALF   # batch rows consumed per grid step
 
 
 def _train4_kernel(n_hidden, t_tiles, inv_count, b1, b2, eps, l2, decay,
@@ -407,70 +408,97 @@ def _train4_kernel(n_hidden, t_tiles, inv_count, b1, b2, eps, l2, decay,
 
     @pl.when(t == 0)
     def _zero():
-        loss_ref[0, 0] = 0.0
+        loss_ref[b, 0] = 0.0
         dwin_v[:] = jnp.zeros_like(dwin_v)
         dwh_p[:] = jnp.zeros_like(dwh_p)
         dwout_p[:] = jnp.zeros_like(dwout_p)
 
-    # ---- forward: two half-tiles packed into 128 lanes -------------------
-    xa = x_ref[0, 0:HALF, :]                 # bf16 [HALF, 128]
-    xb = x_ref[0, HALF:TILE_T4, :]
-    za = _mm(xa, w_in_v[:])                  # [HALF, 64] f32
-    zb = _mm(xb, w_in_v[:])
-    a = jnp.concatenate(
-        [jnp.maximum(za, 0.0), jnp.maximum(zb, 0.0)], axis=1
-    ).astype(jnp.bfloat16)                   # [HALF, 128] packed
-    acts = [a]
+    # ---- forward: STREAMS independent packed pipelines, interleaved ------
+    # The 13-matmul chain is dependency-latency-bound (each matmul waits on
+    # the previous layer's ReLU), so per layer the ops of S independent
+    # streams are issued back to back — the MXU pipelines stream s+1's
+    # matmul while stream s's ReLU runs on the VPU.
+    xab = []
+    for s in range(STREAMS):
+        base = s * 2 * HALF
+        xab.append((x_ref[0, base:base + HALF, :],
+                    x_ref[0, base + HALF:base + 2 * HALF, :]))
+    za_s = [_mm(xa, w_in_v[:]) for xa, _ in xab]
+    zb_s = [_mm(xb, w_in_v[:]) for _, xb in xab]
+    a_s = [
+        jnp.concatenate(
+            [jnp.maximum(za_s[s], 0.0), jnp.maximum(zb_s[s], 0.0)], axis=1
+        ).astype(jnp.bfloat16)               # [HALF, 128] packed
+        for s in range(STREAMS)
+    ]
+    acts_s = [[a] for a in a_s]
     for i in range(n_hidden):
-        z = _mm(a, wh_p[i])                  # [HALF, 128] x [128, 128]
-        a = jnp.maximum(z, 0.0).astype(jnp.bfloat16)
-        acts.append(a)
-    pred = _mm(acts[-1], wout_p[:])          # [HALF, 32]: A cols 0-15, B 16-31
+        z_s = [_mm(a_s[s], wh_p[i]) for s in range(STREAMS)]
+        a_s = [
+            jnp.maximum(z_s[s], 0.0).astype(jnp.bfloat16)
+            for s in range(STREAMS)
+        ]
+        for s in range(STREAMS):
+            acts_s[s].append(a_s[s])
+    pred_s = [_mm(a_s[s], wout_p[:]) for s in range(STREAMS)]
 
     # ---- RelativeL2Luminance grad on cols {0..2} of each half ------------
-    tp = jnp.concatenate(
-        [t_ref[0, 0:HALF, :], t_ref[0, HALF:TILE_T4, :]], axis=1
-    )                                        # [HALF, 32] packed like pred
-    col = jax.lax.broadcasted_iota(jnp.int32, pred.shape, 1)
-    rgb = (col % OUT_PAD) < 3
-    lum_a = (
-        0.299 * pred[:, 0:1] + 0.587 * pred[:, 1:2] + 0.114 * pred[:, 2:3]
-    )
-    lum_b = (
-        0.299 * pred[:, OUT_PAD:OUT_PAD + 1]
-        + 0.587 * pred[:, OUT_PAD + 1:OUT_PAD + 2]
-        + 0.114 * pred[:, OUT_PAD + 2:OUT_PAD + 3]
-    )
-    denom = jnp.where(
-        col < OUT_PAD, lum_a * lum_a + 0.01, lum_b * lum_b + 0.01
-    )
-    diff = jnp.where(rgb, pred - tp, 0.0)
-    loss_ref[0, 0] += jnp.sum(diff * diff / denom) * inv_count
-    g = ((2.0 * inv_count) * diff / denom).astype(jnp.bfloat16)
+    g_s = []
+    for s in range(STREAMS):
+        pred = pred_s[s]                     # [HALF, 32]: A 0-15, B 16-31
+        base = s * 2 * HALF
+        tp = jnp.concatenate(
+            [t_ref[0, base:base + HALF, :],
+             t_ref[0, base + HALF:base + 2 * HALF, :]], axis=1
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, pred.shape, 1)
+        rgb = (col % OUT_PAD) < 3
+        lum_a = (
+            0.299 * pred[:, 0:1] + 0.587 * pred[:, 1:2]
+            + 0.114 * pred[:, 2:3]
+        )
+        lum_b = (
+            0.299 * pred[:, OUT_PAD:OUT_PAD + 1]
+            + 0.587 * pred[:, OUT_PAD + 1:OUT_PAD + 2]
+            + 0.114 * pred[:, OUT_PAD + 2:OUT_PAD + 3]
+        )
+        denom = jnp.where(
+            col < OUT_PAD, lum_a * lum_a + 0.01, lum_b * lum_b + 0.01
+        )
+        diff = jnp.where(rgb, pred - tp, 0.0)
+        loss_ref[b, 0] += jnp.sum(diff * diff / denom) * inv_count
+        g_s.append(((2.0 * inv_count) * diff / denom).astype(jnp.bfloat16))
 
-    # ---- backward --------------------------------------------------------
-    dwout_p[:] += _mm_tn(acts[-1], g)
-    gw = jax.lax.dot_general(                # g @ wout_p^T -> [HALF, 128]
-        g, wout_p[:].astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    gw = jnp.where(acts[-1].astype(jnp.float32) > 0.0, gw, 0.0)
-    for i in range(n_hidden - 1, -1, -1):
-        dwh_p[i] += _mm_tn(acts[i], gw.astype(jnp.bfloat16))
-        gw = jax.lax.dot_general(
-            gw.astype(jnp.bfloat16), wh_p[i].astype(jnp.bfloat16),
+    # ---- backward (stream-interleaved like the forward) ------------------
+    def _bwd_mm(gv, wv):
+        return jax.lax.dot_general(
+            gv.astype(jnp.bfloat16), wv.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        prev = acts[i - 1] if i > 0 else None
-        if prev is not None:
-            gw = jnp.where(prev.astype(jnp.float32) > 0.0, gw, 0.0)
-    # input-layer relu' uses the packed layer-0 activation
-    gw = jnp.where(acts[0].astype(jnp.float32) > 0.0, gw, 0.0)
-    ga = gw[:, 0:W].astype(jnp.bfloat16)
-    gb = gw[:, W:2 * W].astype(jnp.bfloat16)
-    dwin_v[:] += _mm_tn(xa, ga) + _mm_tn(xb, gb)
+
+    for s in range(STREAMS):
+        dwout_p[:] += _mm_tn(acts_s[s][-1], g_s[s])
+    gw_s = [_bwd_mm(g_s[s], wout_p[:]) for s in range(STREAMS)]
+    gw_s = [
+        jnp.where(acts_s[s][-1].astype(jnp.float32) > 0.0, gw_s[s], 0.0)
+        for s in range(STREAMS)
+    ]
+    for i in range(n_hidden - 1, -1, -1):
+        for s in range(STREAMS):
+            dwh_p[i] += _mm_tn(acts_s[s][i], gw_s[s].astype(jnp.bfloat16))
+        gw_s = [_bwd_mm(gw_s[s], wh_p[i]) for s in range(STREAMS)]
+        # after W_i^T the gradient is wrt acts[i] = relu(z_{i-1}); the
+        # relu' mask is acts[i] itself (for i=0 the input layer's
+        # activation) — same indexing as the verified _bwd_kernel above
+        gw_s = [
+            jnp.where(acts_s[s][i].astype(jnp.float32) > 0.0, gw_s[s], 0.0)
+            for s in range(STREAMS)
+        ]
+    for s in range(STREAMS):
+        ga = gw_s[s][:, 0:W].astype(jnp.bfloat16)
+        gb = gw_s[s][:, W:2 * W].astype(jnp.bfloat16)
+        dwin_v[:] += _mm_tn(xab[s][0], ga) + _mm_tn(xab[s][1], gb)
 
     # ---- batch end: L2 + Adam (bias-corrected) + EMA, in VMEM ------------
     @pl.when(t == t_tiles - 1)
@@ -566,8 +594,7 @@ def fused_train4(w_in, w_h, w_out, mu, nu, ema, x4, t4, lr, step0):
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(12)
         ],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda b, t, sc: (b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [nb, 1] losses
         ] + [
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(12)
         ],
@@ -603,6 +630,9 @@ def fused_train4(w_in, w_h, w_out, mu, nu, ema, x4, t4, lr, step0):
         ),
         grid_spec=grid_spec,
         out_shape=shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(
         sc, x4.astype(jnp.bfloat16), tpad, w_in, w_h, w_out,
         mu[0], mu[1], mu[2], nu[0], nu[1], nu[2], ema[0], ema[1], ema[2],

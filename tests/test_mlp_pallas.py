@@ -125,3 +125,63 @@ class TestFusedTrainGrad:
             a, b = np.asarray(a), np.asarray(b)
             scale = np.abs(a).max() + 1e-8
             np.testing.assert_allclose(b / scale, a / scale, atol=5e-3)
+
+
+class TestFusedTrain4:
+    """One-kernel 4-step trainer (round 5, ops/mlp_pallas.py::fused_train4):
+    4 sequential Adam+EMA steps with weights/moments resident in VMEM.
+    Parity vs 4x network.train_step at reduced tile constants (interpret
+    mode); the production-size kernel is exercised by tools/bench_train4.py
+    on the chip (measured 72.9 Msamples/s vs the XLA chain's 83 in the
+    same harness — ships opt-in, see BASELINE.md round-5 MFU note)."""
+
+    def test_matches_xla_train_steps(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.experimental.pallas import tpu as pltpu
+
+        from nrc_tpu.config import InputEncoding, NetworkConfig
+        from nrc_tpu.models import network as N
+        from nrc_tpu.ops import mlp_pallas as MP
+
+        monkeypatch.setattr(MP, "HALF", 128)
+        monkeypatch.setattr(MP, "TILE_T4", MP.STREAMS * 2 * 128)
+        cfg = NetworkConfig(encoding=InputEncoding.FREQUENCY)
+        state = N.init_network(jax.random.PRNGKey(0), cfg)
+        B = 2 * MP.STREAMS * 2 * 128
+        kq, kt = jax.random.split(jax.random.PRNGKey(1))
+        q4 = jax.random.uniform(kq, (4, B, 15), jnp.float32)
+        t4 = jax.random.uniform(kt, (4, B, 3), jnp.float32) * 2.0
+        x4 = jax.vmap(lambda q: N.encode(q, cfg, None))(q4)
+        lr = jnp.float32(cfg.learning_rate)
+
+        ref = state
+        ref_losses = []
+        for k in range(4):
+            ref, loss = N.train_step(ref, q4[k], t4[k], cfg,
+                                     learning_rate=lr)
+            ref_losses.append(float(loss))
+
+        with pltpu.force_tpu_interpret_mode():
+            losses, w, mu, nu, ema = MP.fused_train4(
+                state.params.w_in, state.params.w_hidden,
+                state.params.w_out,
+                (state.opt.mu.w_in, state.opt.mu.w_hidden,
+                 state.opt.mu.w_out),
+                (state.opt.nu.w_in, state.opt.nu.w_hidden,
+                 state.opt.nu.w_out),
+                (state.ema.w_in, state.ema.w_hidden, state.ema.w_out),
+                x4, t4, lr, state.opt.step,
+            )
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref_losses), rtol=2e-2
+        )
+        for a, b in (
+            (ref.params.w_in, w[0]), (ref.params.w_hidden, w[1]),
+            (ref.params.w_out, w[2]), (ref.ema.w_hidden, ema[1]),
+            (ref.opt.mu.w_hidden, mu[1]), (ref.opt.nu.w_hidden, nu[1]),
+        ):
+            d = float(jnp.max(jnp.abs(a - b)))
+            s = float(jnp.max(jnp.abs(a))) or 1.0
+            assert d / s < 5e-2, (d, s)

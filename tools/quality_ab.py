@@ -53,6 +53,10 @@ def run_variant(name, res):
     enc = InputEncoding.HASH if name == "hash" else InputEncoding.FREQUENCY
     kw = {}
     relfact = False
+    # reset experiment knobs (variants share the process)
+    for k in ("NRC_TRAIN_OUTPUT_RELU", "NRC_OUTPUT_LEAKY",
+              "NRC_GRAD_SCALE", "NRC_WOUT_POS_INIT"):
+        os.environ.pop(k, None)
     if name == "base":
         kw["freq_domain_scale"] = 1.0
     elif name == "relu_out":
@@ -62,6 +66,25 @@ def run_variant(name, res):
     elif name == "ref_literals_relu":
         kw["ema_decay"] = 0.99
         os.environ["NRC_TRAIN_OUTPUT_RELU"] = "1"
+    elif name.startswith("relu_"):
+        # Output-ReLU mechanism experiments (VERDICT r4 next #5): all run
+        # the reference-EXACT literals (lr 1e-3, EMA 0.99) and train
+        # through the output ReLU, each adding ONE candidate rescue:
+        #   relu_leaky001 / relu_leaky01 — leaky output slope 0.001 / 0.01
+        #   relu_posinit — positive-mean w_out init (first preds > 0)
+        #   relu_gs128 — tcnn-style loss scale 128 around bf16 adjoints
+        kw["ema_decay"] = 0.99
+        os.environ["NRC_TRAIN_OUTPUT_RELU"] = "1"
+        if name == "relu_leaky001":
+            os.environ["NRC_OUTPUT_LEAKY"] = "0.001"
+        elif name == "relu_leaky01":
+            os.environ["NRC_OUTPUT_LEAKY"] = "0.01"
+        elif name == "relu_posinit":
+            os.environ["NRC_WOUT_POS_INIT"] = "1"
+        elif name == "relu_gs128":
+            os.environ["NRC_GRAD_SCALE"] = "128"
+        else:
+            raise SystemExit(f"unknown relu_ variant {name}")
     elif name in ("domain32", "warmup", "lr3e3", "ema95", "ema95lr3", "relfact_ema95lr3"):
         kw["freq_domain_scale"] = 32.0
     elif name == "domain8":
@@ -83,6 +106,7 @@ def run_variant(name, res):
     )
     base_lr = (
         1e-3 if name in ("ref_literals", "ref_literals_relu")
+        or (name.startswith("relu_") and name != "relu_out")
         else 3e-3 if name in ("lr3e3", "ema95lr3", "relfact_ema95lr3", "s1_ema95lr3")
         else net_cfg.learning_rate
     )
@@ -93,7 +117,8 @@ def run_variant(name, res):
                 r.hyper, learning_rate=base_lr * min((i + 1) / 32.0, 1.0)
             )
         elif name in ("lr3e3", "ema95lr3", "relfact_ema95lr3", "s1_ema95lr3",
-                      "ref_literals", "ref_literals_relu"):
+                      "ref_literals", "ref_literals_relu") \
+                or (name.startswith("relu_") and name != "relu_out"):
             r.hyper = dataclasses.replace(r.hyper, learning_rate=base_lr)
         r.render_frame()
     tm = system.tonemapper
