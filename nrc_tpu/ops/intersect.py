@@ -500,6 +500,29 @@ def occluded_bvh(org, direction, bvh, tris: TriSoA, tmin, tmax) -> jnp.ndarray:
 # Dispatcher
 # ---------------------------------------------------------------------------
 
+def hit_from_t_prim(org, direction, tris: TriSoA, t, prim) -> Hit:
+    """Winner (t, prim) -> full Hit with barycentrics re-derived (the
+    shared epilogue of the BVH walks; also used by the primary raster)."""
+    valid = prim >= 0
+    pi = jnp.maximum(prim, 0)
+    p0, e1, e2 = tris.gather_rows(pi)
+    pvec = jnp.cross(direction, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(
+        jnp.abs(det) > 1e-12, 1.0 / jnp.where(det != 0, det, 1.0), 0.0
+    )
+    tvec = org - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(direction * qvec, axis=-1) * inv_det
+    return Hit(
+        t=jnp.where(valid, t, RT_MAX),
+        prim=prim,
+        u=jnp.where(valid, u, 0.0),
+        v=jnp.where(valid, v, 0.0),
+    )
+
+
 def make_anyhit_prim(tris: TriSoA, bvh=None):
     """Any-hit that also reports WHICH primitive it found -> prim [N] i32
     (-1 = none; arbitrary intersecting prim, not the nearest — same contract

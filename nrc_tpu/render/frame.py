@@ -175,6 +175,8 @@ def frame_step(
     grid_grad_reduce=None,
     shard_rows: Optional[int] = None,
     row_offset=0,
+    raster_meta=None,   # static RasterMeta (jit-key via partial)
+    raster_data=None,   # RasterData arrays (traced)
 ) -> Tuple[jnp.ndarray, N.NetworkState, FrameStats]:
     """One full frame. Returns (image', net_state', stats).
 
@@ -207,8 +209,22 @@ def frame_step(
         pix, jitter, screen, camera.p, camera.u, camera.v, camera.w,
         lens=cfg.lens_shader,
     )
+    primary_hit = None
+    if raster_meta is not None and shard_rows is None and cfg.lens_shader == 0:
+        # Tiled primary-visibility raster (ops/raster_primary.py): resolve
+        # every pixel's first hit with dense per-screen-tile MT tests —
+        # no BVH walk, no gathers; winners identical to the walk's. The
+        # bins are camera-static (the Renderer rebuilds them on move).
+        from ..ops.intersect import RT_MAX, hit_from_t_prim
+        from ..ops.raster_primary import raster_closest_hit
+
+        t0_, prim0 = raster_closest_hit(
+            raster_meta, raster_data, org, dirn,
+            jnp.zeros((n_pixels,)), jnp.full((n_pixels,), RT_MAX),
+        )
+        primary_hit = hit_from_t_prim(org, dirn, scene.tris, t0_, prim0)
     render_out = trace_wavefront_chunked(
-        scene, org, dirn, seeds, cfg, train=False
+        scene, org, dirn, seeds, cfg, train=False, primary_hit=primary_hit
     )
 
     # ---- training wavefront (one ray per tile, raygeneration.cu:123-136) -

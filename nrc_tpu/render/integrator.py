@@ -138,6 +138,9 @@ def trace_wavefront(
     unbiased: Optional[jnp.ndarray] = None,  # [N] bool (train wavefront)
     queue_band: Optional[int] = None,  # compacted-queue band (see below)
     queue_mode: str = "every",  # "every" = per-depth compaction, "once"
+    primary_hit=None,  # Optional[Hit]: precomputed depth-0 visibility
+                       # (ops/raster_primary.py) — replaces the first
+                       # closest_hit; identical winners by construction
 ) -> WavefrontOut:
     n = org.shape[0]
     d_rec = cfg.max_train_records_per_ray if train else 1
@@ -358,7 +361,13 @@ def trace_wavefront(
             )
             tmax = jnp.where(can_step, jnp.minimum(tmax, dist_sample), tmax)
 
-        hit = closest_hit(s.pos, s.wi, tmin, tmax)
+        # depth 0 of the render wavefront may arrive pre-resolved by the
+        # tiled raster (tmin/tmax are exactly 0/RT_MAX there: no medium
+        # distance sampling before the first hit — stack_idx starts 0)
+        if first and primary_hit is not None:
+            hit = primary_hit
+        else:
+            hit = closest_hit(s.pos, s.wi, tmin, tmax)
         is_curve = jnp.zeros((n,), bool)
         if has_curves:
             c_hit = IC.intersect_curves_bvh(
@@ -1376,6 +1385,7 @@ def trace_wavefront_chunked(
     unbiased: Optional[jnp.ndarray] = None,
     chunk: Optional[int] = None,
     queue: Optional[bool] = None,
+    primary_hit=None,
 ) -> WavefrontOut:
     """Chunked wrapper around ``trace_wavefront`` (same signature + chunk)."""
     if chunk is None:
@@ -1389,7 +1399,8 @@ def trace_wavefront_chunked(
     n = org.shape[0]
     if chunk <= 0 or n < 2 * chunk:
         return trace_wavefront(
-            scene, org, direction, seeds, cfg, train, unbiased
+            scene, org, direction, seeds, cfg, train, unbiased,
+            primary_hit=primary_hit,
         )
     pad = (-n) % chunk
     if unbiased is None:
@@ -1404,14 +1415,49 @@ def trace_wavefront_chunked(
         seeds = jnp.concatenate([seeds, jnp.ones((pad,), seeds.dtype)])
         unbiased = jnp.concatenate([unbiased, jnp.zeros((pad,), bool)])
     c = (n + pad) // chunk
+    if primary_hit is not None and pad:
+        from ..ops.intersect import Hit as _Hit
+
+        primary_hit = _Hit(
+            t=jnp.concatenate([primary_hit.t, jnp.full((pad,), RT_MAX)]),
+            prim=jnp.concatenate(
+                [primary_hit.prim, jnp.full((pad,), -1, jnp.int32)]
+            ),
+            u=jnp.concatenate([primary_hit.u, jnp.zeros((pad,))]),
+            v=jnp.concatenate([primary_hit.v, jnp.zeros((pad,))]),
+        )
 
     if queue:
         # compacted-queue layout: one call over the whole (padded) wavefront
         out = trace_wavefront(
             scene, org, direction, seeds, cfg, train, unbiased,
-            queue_band=chunk, queue_mode=queue,
+            queue_band=chunk, queue_mode=queue, primary_hit=primary_hit,
         )
         return jax.tree.map(lambda x: x[:n], out)
+
+    if primary_hit is not None:
+        def one_ph(args):
+            o, d, s, u, ph = args
+            return trace_wavefront(
+                scene, o, d, s, cfg, train, u, primary_hit=ph
+            )
+
+        out = jax.lax.map(
+            one_ph,
+            (
+                org.reshape(c, chunk, 3),
+                direction.reshape(c, chunk, 3),
+                seeds.reshape(c, chunk),
+                unbiased.reshape(c, chunk),
+                jax.tree.map(
+                    lambda x: x.reshape((c, chunk) + x.shape[1:]),
+                    primary_hit,
+                ),
+            ),
+        )
+        return jax.tree.map(
+            lambda x: x.reshape((c * chunk,) + x.shape[2:])[:n], out
+        )
 
     def one(args):
         o, d, s, u = args

@@ -143,6 +143,19 @@ class Renderer:
         self.loss_history = deque(maxlen=256)
         self._pending_stats = deque()
         self._step_cache = {}
+        # tiled primary-visibility raster (ops/raster_primary.py): replaces
+        # the depth-0 BVH walk with dense per-screen-tile tests for big
+        # pinhole scenes (the primary walk measured 404 ms of the demo
+        # 720p frame). Bins depend on the camera; rebuilt lazily on move.
+        self._raster_meta = None
+        self._raster_data = None
+        self._raster_cam = None
+        self._raster_enabled = (
+            os.environ.get("NRC_RASTER_PRIMARY", "1") == "1"
+            and scene.num_triangles > 16384
+            and self.cfg.lens_shader == 0
+            and w % 8 == 0 and h % 8 == 0
+        )
 
     # -- state management --------------------------------------------------
 
@@ -211,13 +224,46 @@ class Renderer:
             p=jnp.asarray(p), u=jnp.asarray(u), v=jnp.asarray(v), w=jnp.asarray(w)
         )
 
+    def _maybe_build_raster(self):
+        """(Re)build the primary raster bins when the camera moved."""
+        if not self._raster_enabled:
+            return
+        p, u, v, w = self.scene.camera.frustum()
+        cam_key = (tuple(p.tolist()), tuple(u.tolist()),
+                   tuple(v.tolist()), tuple(w.tolist()))
+        if cam_key == self._raster_cam:
+            return
+        from ..ops.raster_primary import RasterData, build_raster_bins
+
+        built = build_raster_bins(
+            self.scene.p0, self.scene.p1, self.scene.p2,
+            p, u, v, w, self.cfg.width, self.cfg.height,
+        )
+        if built is None:
+            self._raster_enabled = False
+            return
+        meta, pids_np, perm_np, inv_np = built
+        pids = jnp.asarray(pids_np)
+        # binned tri rows derived ON DEVICE from the resident packed
+        # geometry (one gather per camera build) — the host ships only
+        # the pid/permutation arrays
+        rows = self.device_scene.tris.packed[jnp.maximum(pids, 0)]
+        self._raster_meta = meta
+        self._raster_data = RasterData(
+            rows=rows, pids=pids,
+            perm=jnp.asarray(perm_np), inv_perm=jnp.asarray(inv_np),
+        )
+        self._raster_cam = cam_key
+
     def _compiled_step(self, cfg: FrameConfig):
         # key on every static field (hyper-parameter edits recompile, the
-        # analog of the reference's setState dirty-diff re-upload)
+        # analog of the reference's setState dirty-diff re-upload); the
+        # raster meta (group layout) is static too — a camera move that
+        # reshapes the bins retraces
         key = tuple(
             tuple(sorted(v)) if isinstance(v, frozenset) else v
             for v in dataclasses.astuple(cfg)
-        )
+        ) + (self._raster_meta,)
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(
                 functools.partial(
@@ -225,6 +271,7 @@ class Renderer:
                     cfg=cfg,
                     net_cfg=self.net_cfg,
                     train_unbiased_ratio=cfg.train_unbiased_ratio,
+                    raster_meta=self._raster_meta,
                 )
             )
         return self._step_cache[key]
@@ -259,6 +306,7 @@ class Renderer:
 
     def render_frame(self):
         """One subframe (1 spp accumulated)."""
+        self._maybe_build_raster()
         step = self._compiled_step(self.cfg)
         self.image, self.net_state, stats = step(
             self.device_scene,
@@ -269,6 +317,7 @@ class Renderer:
             jnp.uint32(self.total_subframe),
             # traced: live lr edits don't recompile (optimizer->set_learning_rate)
             learning_rate=jnp.float32(self.hyper.learning_rate),
+            raster_data=self._raster_data,
         )
         self.iteration += 1
         self.total_subframe += 1

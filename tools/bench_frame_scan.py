@@ -52,16 +52,19 @@ def main():
         train=bool(args.train), adaptive_tiles=False,
     )
     spp = args.spp
+    r._maybe_build_raster()  # primary raster (round 5; env-gated)
     step = functools.partial(
         frame_step, cfg=r.cfg, net_cfg=r.net_cfg,
         train_unbiased_ratio=r.cfg.train_unbiased_ratio,
+        raster_meta=r._raster_meta,
     )
 
-    def loop(scene_d, state, image, cam, it0, sub0, lr):
+    def loop(scene_d, state, image, cam, it0, sub0, lr, raster_data):
         def body(carry, _):
             image, state, it, sub = carry
             image, state, stats = step(
-                scene_d, state, image, cam, it, sub, learning_rate=lr
+                scene_d, state, image, cam, it, sub, learning_rate=lr,
+                raster_data=raster_data,
             )
             return (image, state, it + jnp.int32(1), sub + jnp.uint32(1)), (
                 stats.traced_rays)
@@ -75,7 +78,7 @@ def main():
     def run_rep(image, state, it, sub):
         carry, traced = jloop(
             r.device_scene, state, image, cam, jnp.int32(it),
-            jnp.uint32(sub), lr
+            jnp.uint32(sub), lr, r._raster_data
         )
         image, state = carry[0], carry[1]
         float(jnp.ravel(image)[0])
