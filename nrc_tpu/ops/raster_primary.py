@@ -77,11 +77,17 @@ def build_raster_bins(p0, p1, p2, cam_p, cam_u, cam_v, cam_w,
     ``tris.packed[pids]``. None when the screen does not tile evenly."""
     import os as _os
 
-    tile = int(_os.environ.get("NRC_RASTER_TILE", str(TILE)))
-    if width % tile or height % tile:
-        tile = 8
-        if width % tile or height % tile:
-            return None
+    forced = _os.environ.get("NRC_RASTER_TILE")
+    # prefer LARGER tiles: the resolve cost is pairs-bound and a 2K
+    # tile=8 layout (32k tiles) hit a TPU kernel fault (worker crash,
+    # reproducible) that tile=24's 3.6k tiles does not; 8 is last-resort
+    candidates = [int(forced)] if forced else [16, 24, 20, 32, 12, 8]
+    tile = next(
+        (t for t in candidates if width % t == 0 and height % t == 0),
+        None,
+    )
+    if tile is None:
+        return None
     ntx, nty = width // tile, height // tile
     n_tiles = ntx * nty
 
