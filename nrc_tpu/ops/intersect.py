@@ -469,24 +469,7 @@ def intersect_bvh(org, direction, bvh, tris: TriSoA, tmin, tmax) -> Hit:
     """Closest hit over the skip-link BVH; barycentrics re-derived for the
     single winner per ray (same epilogue as the brute-force path)."""
     t, prim = _chunked_traverse(org, direction, bvh, tmin, tmax, any_hit=False)
-    valid = prim >= 0
-    pi = jnp.maximum(prim, 0)
-    p0, e1, e2 = tris.gather_rows(pi)
-    pvec = jnp.cross(direction, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = jnp.where(
-        jnp.abs(det) > 1e-12, 1.0 / jnp.where(det != 0, det, 1.0), 0.0
-    )
-    tvec = org - p0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(direction * qvec, axis=-1) * inv_det
-    return Hit(
-        t=jnp.where(valid, t, RT_MAX),
-        prim=prim,
-        u=jnp.where(valid, u, 0.0),
-        v=jnp.where(valid, v, 0.0),
-    )
+    return hit_from_t_prim(org, direction, tris, t, prim)
 
 
 def occluded_bvh(org, direction, bvh, tris: TriSoA, tmin, tmax) -> jnp.ndarray:

@@ -516,27 +516,13 @@ def _chunked_wide(org, direction, wb, tmin, tmax, any_hit: bool,
 
 
 def intersect_wbvh(org, direction, wb, tris: TriSoA, tmin, tmax) -> Hit:
-    """Closest hit over the wide BVH; winner barycentrics re-derived (same
-    epilogue as the binary/brute-force paths)."""
+    """Closest hit over the wide BVH; winner barycentrics re-derived
+    (``hit_from_t_prim`` — the epilogue shared with the binary walk and
+    the primary raster)."""
+    from .intersect import hit_from_t_prim
+
     t, prim = _chunked_wide(org, direction, wb, tmin, tmax, any_hit=False)
-    valid = prim >= 0
-    pi = jnp.maximum(prim, 0)
-    p0, e1, e2 = tris.gather_rows(pi)
-    pvec = jnp.cross(direction, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = jnp.where(
-        jnp.abs(det) > 1e-12, 1.0 / jnp.where(det != 0, det, 1.0), 0.0
-    )
-    tvec = org - p0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(direction * qvec, axis=-1) * inv_det
-    return Hit(
-        t=jnp.where(valid, t, RT_MAX),
-        prim=prim,
-        u=jnp.where(valid, u, 0.0),
-        v=jnp.where(valid, v, 0.0),
-    )
+    return hit_from_t_prim(org, direction, tris, t, prim)
 
 
 def occluded_wbvh(org, direction, wb, tris: TriSoA, tmin, tmax) -> jnp.ndarray:

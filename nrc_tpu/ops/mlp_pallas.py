@@ -363,7 +363,7 @@ STREAMS = 2          # independent packed pipelines interleaved per step
 TILE_T4 = STREAMS * 2 * HALF   # batch rows consumed per grid step
 
 
-def _train4_kernel(n_hidden, t_tiles, inv_count, b1, b2, eps, l2, decay,
+def _train4_kernel(n_hidden, t_tiles, nb, inv_count, b1, b2, eps, l2, decay,
                    # scalar prefetch
                    sc_ref,
                    # inputs
@@ -505,7 +505,7 @@ def _train4_kernel(n_hidden, t_tiles, inv_count, b1, b2, eps, l2, decay,
     def _optim():
         lr = sc_ref[0]
         bc1 = sc_ref[1 + b]
-        bc2 = sc_ref[5 + b]
+        bc2 = sc_ref[1 + nb + b]
 
         def adam(pv, gv, muv, nuv):
             gv = gv + l2 * pv
@@ -625,7 +625,7 @@ def fused_train4(w_in, w_h, w_out, mu, nu, ema, x4, t4, lr, step0):
     shapes += shapes[1:] * 3  # mu, nu, ema
     out = pl.pallas_call(
         functools.partial(
-            _train4_kernel, n_hidden, t_tiles, inv_count,
+            _train4_kernel, n_hidden, t_tiles, nb, inv_count,
             float(b1), float(b2), float(eps), float(l2), float(decay),
         ),
         grid_spec=grid_spec,

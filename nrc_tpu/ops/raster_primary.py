@@ -39,8 +39,10 @@ import numpy as np
 
 from .intersect import RT_MAX
 
-TILE = 16          # preferred screen tile edge (pixels); 8 when the
-                   # resolution only divides by 8 (e.g. 1280x360, 2K)
+TILE = 16          # preferred screen tile edge (pixels); the builder's
+                   # ladder (16/24/20/32/12/8, first divisor of BOTH
+                   # dimensions wins) prefers larger tiles — a 2K tile=8
+                   # layout (32k tiles) reproducibly faulted the TPU
 PAD_PX = 1.5       # conservative projection pad (subpixel jitter + rounding)
 NEAR_EPS = 1e-5
 
@@ -116,7 +118,11 @@ def build_raster_bins(p0, p1, p2, cam_p, cam_u, cam_v, cam_w,
     czs = np.stack(czs, 1)
 
     behind = czs <= NEAR_EPS
-    all_behind = behind.all(axis=1)
+    # a triangle is DROPPABLE only when strictly at-or-behind the camera
+    # plane (cz <= 0 for all vertices): vertices in the (0, NEAR_EPS]
+    # slab still project (to huge clamped bounds — conservative), and the
+    # walk with tmin = 0 can hit them
+    all_behind = (czs <= 0.0).all(axis=1)
     any_behind = behind.any(axis=1) & ~all_behind
 
     # screen-space AABB in pixels for fully-front triangles
@@ -162,6 +168,16 @@ def build_raster_bins(p0, p1, p2, cam_p, cam_u, cam_v, cam_w,
         by = np.where(behind, -np.inf, py)
         hi_x[idx] = np.maximum(hi_x[idx], bx[idx].max(axis=1) + PAD_PX)
         hi_y[idx] = np.maximum(hi_y[idx], by[idx].max(axis=1) + PAD_PX)
+
+    # NaN bounds (a vertex exactly at the camera origin: 0/0 projection)
+    # would fail every comparison and silently DROP a hittable triangle —
+    # replace with full-screen bounds (fully conservative)
+    bad = ~(np.isfinite(lo_x) & np.isfinite(hi_x)
+            & np.isfinite(lo_y) & np.isfinite(hi_y))
+    lo_x = np.where(bad, -1.0, lo_x)
+    hi_x = np.where(bad, width + 1.0, hi_x)
+    lo_y = np.where(bad, -1.0, lo_y)
+    hi_y = np.where(bad, height + 1.0, hi_y)
 
     keep = ~all_behind
     tids = np.nonzero(keep)[0].astype(np.int64)

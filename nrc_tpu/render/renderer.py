@@ -240,7 +240,12 @@ class Renderer:
             p, u, v, w, self.cfg.width, self.cfg.height,
         )
         if built is None:
+            # drop any PREVIOUS camera's bins too — the frame must fall
+            # back to the walk rather than resolve with stale candidates
             self._raster_enabled = False
+            self._raster_meta = None
+            self._raster_data = None
+            self._raster_cam = None
             return
         meta, pids_np, perm_np, inv_np = built
         pids = jnp.asarray(pids_np)
@@ -274,6 +279,10 @@ class Renderer:
                     raster_meta=self._raster_meta,
                 )
             )
+            # bound the cache: camera motion reshapes the raster bins and
+            # would otherwise retain one compiled frame program per pose
+            while len(self._step_cache) > 16:
+                self._step_cache.pop(next(iter(self._step_cache)))
         return self._step_cache[key]
 
     def set_hyper_params(

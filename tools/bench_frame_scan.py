@@ -102,8 +102,7 @@ def main():
     tr = int(jnp.sum(traced))
     print(json.dumps({
         "label": args.label or f"{args.case}_scan",
-        "case": args.case, "res": list(r.cfg.__dict__.items())[0:0] or
-        [r.cfg.width, r.cfg.height],
+        "case": args.case, "res": [r.cfg.width, r.cfg.height],
         "ms_per_frame": round(dt / spp * 1e3, 1),
         "fps": round(spp / dt, 3),
         "mrays_traced": round(tr / dt / 1e6, 3),
