@@ -105,7 +105,11 @@ def main():
             "rep_times_s": [round(t, 3) for t in times],
         }), flush=True)
 
+    from nrc_tpu.render import integrator as _integ
+
+    wfc0 = _integ.WAVEFRONT_CHUNK
     for v in args.variants.split(","):
+        _integ.WAVEFRONT_CHUNK = wfc0
         if v == "base":
             run_variant(v, r.cfg, cutfast=False)
         elif v == "cutfast":
@@ -114,6 +118,12 @@ def main():
             tau = float(v[3:])
             cfg = dataclasses.replace(r.cfg, nee_rr_tau=tau)
             run_variant(v, cfg, cutfast=False)
+        elif v.startswith("wfc"):
+            # wavefront band width: bounds both the compact-once prefix
+            # granularity AND the traversal coherence-sort scope at
+            # depths >= 2 (the 921k-vs-65k sort-scope effect)
+            _integ.WAVEFRONT_CHUNK = int(v[3:])
+            run_variant(v, r.cfg, cutfast=False)
         else:
             raise SystemExit(f"unknown variant {v}")
 
